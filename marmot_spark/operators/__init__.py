@@ -1,0 +1,16 @@
+from marmot_spark.operators.asof import asof_join, detect_hot_keys
+from marmot_spark.operators.windows import (
+    explode_tokens,
+    rolling_count,
+    sessionize,
+    with_context_window,
+)
+
+__all__ = [
+    "asof_join",
+    "detect_hot_keys",
+    "explode_tokens",
+    "with_context_window",
+    "sessionize",
+    "rolling_count",
+]

@@ -1,0 +1,52 @@
+"""SparkSession builder tuned for the engine.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would set
+per-executor: AQE on (runtime coalesce + skew-join split), Arrow transfers on,
+shuffle partitions sized to cores (cluster: 2-3x total cores), UTC session TZ
+so DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "marmot_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # match parallelism: local[N] -> N; cluster would use 2-3x total cores
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        n = os.cpu_count() or 32 if inner == "*" else int(inner)
+        shuffle_partitions = max(2, n)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # read parquet naive timestamps as TIMESTAMP (UTC), not TIMESTAMP_NTZ:
+        # keeps epoch arithmetic (unix_micros, range frames) and DuckDB-oracle
+        # comparisons exact
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide token arrays (<=512 int32) -> keep Arrow batches moderate
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

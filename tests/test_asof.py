@@ -1,0 +1,138 @@
+"""As-of join kernel tests: DuckDB ASOF oracle parity, both strategies agree,
+zero temporal leakage, tie-breaks, tolerance, salting invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from datetime import datetime
+from pyspark.sql import functions as F
+
+from marmot_spark.operators.asof import asof_join, detect_hot_keys
+
+
+def _load(spark, fixture_dir):
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet").select("doc_id", "seq_ts", "n_tok", "source")
+    labels = spark.read.parquet(f"{fixture_dir}/labels.parquet")
+    return seqs, labels
+
+
+def _oracle(fixture_dir) -> pd.DataFrame:
+    q = f"""
+    SELECT s.doc_id, epoch_us(s.seq_ts) AS seq_us, l.tag, l.score,
+           epoch_us(l.label_ts) AS match_us
+    FROM read_parquet('{fixture_dir}/sequences.parquet') s
+    ASOF LEFT JOIN (
+        SELECT doc_id, label_ts, tag, score,
+               row_number() OVER (PARTITION BY doc_id, label_ts ORDER BY label_seq DESC) rn
+        FROM read_parquet('{fixture_dir}/labels.parquet')
+        QUALIFY rn = 1
+    ) l ON s.doc_id = l.doc_id AND s.seq_ts >= l.label_ts
+    ORDER BY s.doc_id, seq_us, s.n_tok
+    """
+    return duckdb.sql(q).df()
+
+
+def _engine(spark, fixture_dir, **kw) -> pd.DataFrame:
+    seqs, labels = _load(spark, fixture_dir)
+    out = asof_join(
+        seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+        payload=["tag", "score"], tie_break="label_seq", **kw,
+    )
+    pdf = (
+        out.select(
+            "doc_id",
+            (F.unix_micros("seq_ts")).alias("seq_us"),
+            "tag", "score",
+            F.unix_micros("matched_ts").alias("match_us"),
+            "n_tok",
+        )
+        .orderBy("doc_id", "seq_us", "n_tok")
+        .toPandas()
+    )
+    return pdf.drop(columns=["n_tok"])
+
+
+@pytest.mark.parametrize("strategy", ["window", "merge"])
+def test_asof_matches_duckdb_oracle(spark, fixture_dir, strategy):
+    got = _engine(spark, fixture_dir, strategy=strategy).reset_index(drop=True)
+    want = _oracle(fixture_dir).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["tag"], want["tag"], check_names=False)
+    pd.testing.assert_series_equal(got["match_us"].astype("float"), want["match_us"].astype("float"), check_names=False)
+    pd.testing.assert_series_equal(got["score"].astype("float"), want["score"].astype("float"), check_names=False)
+
+
+def test_strategies_agree_with_salting(spark, fixture_dir):
+    base = _engine(spark, fixture_dir, strategy="window").reset_index(drop=True)
+    seqs, _ = _load(spark, fixture_dir)
+    hot = detect_hot_keys(seqs, "doc_id", threshold=0.05)
+    assert "d00000000" in hot
+    for strategy in ["window", "merge"]:
+        salted = _engine(spark, fixture_dir, strategy=strategy, hot_keys=hot, n_salts=8).reset_index(drop=True)
+        pd.testing.assert_frame_equal(base, salted)
+
+
+def test_zero_temporal_leakage(spark, fixture_dir):
+    seqs, labels = _load(spark, fixture_dir)
+    out = asof_join(seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                    payload=["tag", "score"], tie_break="label_seq")
+    leaked = out.filter(F.col("matched_ts") > F.col("seq_ts")).count()
+    assert leaked == 0
+    # fixture places labels at exactly seq_ts (must join) and seq_ts+1us (must not)
+    eq = out.filter(F.col("matched_ts") == F.col("seq_ts")).count()
+    assert eq > 0
+
+
+def test_adversarial_one_microsecond(spark):
+    seqs = spark.createDataFrame(
+        [("d1", datetime(2026, 1, 1, 0, 0, 10, 0))], "doc_id string, seq_ts timestamp"
+    )
+    labels = spark.createDataFrame(
+        [
+            ("d1", datetime(2026, 1, 1, 0, 0, 10, 1), 1, "LEAK", 1.0),
+            ("d1", datetime(2026, 1, 1, 0, 0, 9, 0), 0, "OK", 0.5),
+        ],
+        "doc_id string, label_ts timestamp, label_seq long, tag string, score double",
+    )
+    for strategy in ["window", "merge"]:
+        row = asof_join(seqs, labels, "doc_id", "seq_ts", "label_ts", ["tag", "score"],
+                        tie_break="label_seq", strategy=strategy).collect()[0]
+        assert row["tag"] == "OK", strategy
+
+
+def test_tie_break_largest_label_seq_wins(spark):
+    ts = datetime(2026, 1, 1, 0, 0, 10, 0)
+    seqs = spark.createDataFrame([("d1", ts)], "doc_id string, seq_ts timestamp")
+    labels = spark.createDataFrame(
+        [("d1", ts, 1, "FIRST", 0.1), ("d1", ts, 2, "SECOND", 0.2)],
+        "doc_id string, label_ts timestamp, label_seq long, tag string, score double",
+    )
+    for strategy in ["window", "merge"]:
+        row = asof_join(seqs, labels, "doc_id", "seq_ts", "label_ts", ["tag", "score"],
+                        tie_break="label_seq", strategy=strategy).collect()[0]
+        assert row["tag"] == "SECOND", strategy
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    seqs = spark.createDataFrame(
+        [("d1", datetime(2026, 1, 1, 0, 10, 0, 0))], "doc_id string, seq_ts timestamp"
+    )
+    labels = spark.createDataFrame(
+        [("d1", datetime(2026, 1, 1, 0, 0, 0, 0), 0, "OLD", 0.5)],
+        "doc_id string, label_ts timestamp, label_seq long, tag string, score double",
+    )
+    no_tol = asof_join(seqs, labels, "doc_id", "seq_ts", "label_ts", ["tag"], tie_break="label_seq").collect()[0]
+    assert no_tol["tag"] == "OLD"
+    tol = asof_join(seqs, labels, "doc_id", "seq_ts", "label_ts", ["tag"],
+                    tie_break="label_seq", tolerance_us=60_000_000).collect()[0]
+    assert tol["tag"] is None and tol["matched_ts"] is None
+
+
+def test_orphan_keys_get_null(spark, fixture_dir):
+    seqs, labels = _load(spark, fixture_dir)
+    only_orphan_labels = labels.filter(F.col("doc_id").startswith("x"))
+    out = asof_join(seqs, only_orphan_labels, "doc_id", "seq_ts", "label_ts",
+                    ["tag"], tie_break="label_seq")
+    assert out.filter(F.col("tag").isNotNull()).count() == 0
