@@ -1,0 +1,50 @@
+"""Deterministic categorical one-hot binarization (SURVEY.md F8).
+
+Reference semantics: marmot binarizes categorical (string) features with
+sklearn LabelBinarizer/DictVectorizer before learning
+(marmot/experiment/preprocessing_utils.py :: fit_binarizers()/binarize()
+[R — SURVEY.md §0]). For reproducible (allclose-stable) vectors the engine
+pins the vocabulary order: SORTED distinct values, indexed from 0.
+
+Spark-first: fit = one distinct+sort on the (small) value domain; transform =
+broadcast join value→index + array construction — no UDF, no per-row Python.
+The one-hot is an array<double> so downstream numpy comparison is direct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fit_vocab(df: DataFrame, col: str) -> DataFrame:
+    """(value, idx) vocabulary: sorted distinct values, idx 0..V-1.
+
+    The single-partition window is fine: vocabularies are small by
+    definition (categorical domains); the corpus itself never shuffles here.
+    """
+    w = Window.orderBy(F.col("value").asc())
+    return (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .withColumn("idx", F.row_number().over(w) - 1)
+    )
+
+
+def binarize(df: DataFrame, col: str, vocab: DataFrame, out_col: str | None = None, drop_idx: bool = True) -> DataFrame:
+    """Append ``{col}_onehot`` array<double> (all zeros for out-of-vocab/null)."""
+    out_col = out_col or f"{col}_onehot"
+    v = F.broadcast(vocab.select(F.col("value").alias(f"__{col}_v"), F.col("idx").alias(f"__{col}_i")))
+    size = vocab.count()
+    df = df.join(v, df[col] == v[f"__{col}_v"], "left")
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(size - 1)),
+        lambda j: F.when(F.col(f"__{col}_i") == j, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(out_col, onehot).drop(f"__{col}_v")
+    if drop_idx:
+        df = df.drop(f"__{col}_i")
+    else:
+        df = df.withColumnRenamed(f"__{col}_i", f"{col}_idx")
+    return df

