@@ -42,9 +42,9 @@ from marmot_spark.operators.ngrams import ngram_counts, with_ngram_membership
 from marmot_spark.operators.similarity import brute_force_topk, lsh_topk
 from marmot_spark.operators.windows import (
     explode_tokens,
+    explode_with_context,
     rolling_count,
     sessionize,
-    with_context_window,
 )
 
 P31 = 2_147_483_647
@@ -146,8 +146,10 @@ def entry(spark: SparkSession) -> DataFrame:
         base, errors, on="user_id", left_ts="seq_ts", right_ts="err_ts",
         payload=["err_value"], tie_break="err_event_id",
     )
-    ex = explode_tokens(base, keep=["doc_id", "lang", "source", "seq_ts", "session_id", "rolling_docs", "err_value"])
-    ex = with_context_window(ex, k=2)
+    ex = explode_with_context(
+        base.withColumn("__toks", F.col("tokens")), k=2,
+        keep=["doc_id", "lang", "source", "seq_ts", "session_id", "rolling_docs", "err_value", "__toks"],
+    ).withColumnRenamed("__toks", "tokens")
     ex = with_ngram_membership(ex, dict2, max_n=2)
     return ex.select(
         "doc_id", "pos", "tok", "lag_1", "lag_2", "lead_1", "lead_2",
@@ -161,8 +163,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_w1_context_window(spark, sf):
-    ex = explode_tokens(_docs(spark, sf), keep=["doc_id"])
-    return with_context_window(ex, k=2).select(
+    ex = explode_with_context(_docs(spark, sf), k=2, keep=["doc_id"])
+    return ex.select(
         "doc_id", "pos", "tok",
         F.col("lag_1").cast("int").alias("lag_1"), F.col("lag_2").cast("int").alias("lag_2"),
         F.col("lead_1").cast("int").alias("lead_1"), F.col("lead_2").cast("int").alias("lead_2"),

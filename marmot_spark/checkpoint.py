@@ -1,0 +1,116 @@
+"""Checkpointed, idempotent-resume job runner with per-partition lineage
+manifests and metrics (SURVEY.md S7 / §4.2; required by the north rule).
+
+The reference has no resume story — a failed experiment reruns from scratch.
+At 10^12 rows a job MUST survive preemption, so the engine processes a
+snapshot as deterministic BUCKETS (pmod(xxhash64(key), n_buckets)) and commits
+each bucket atomically:
+
+    <ckpt_root>/<job>/snap=<id>/bucket=<b>/part-*.parquet   (data)
+    <ckpt_root>/<job>/snap=<id>/_manifests/bucket=<b>.json  (lineage, LAST)
+
+A bucket is done iff its manifest exists; the manifest is written only after
+the data write succeeds, so a crash mid-bucket leaves data files without a
+manifest and the bucket simply reruns (mode=overwrite makes the rerun
+idempotent — same input snapshot + same deterministic bucketing = same rows).
+
+resume = anti-join of pending buckets against committed manifests: run() is
+restartable at any point and never reprocesses a committed bucket. Manifests
+carry (snapshot_id, bucket, input_rows, output_rows, checksum, wall_ms) —
+the lineage + metrics record the north rule asks for.
+
+Design note: buckets, not Spark task partitions, are the checkpoint unit —
+task counts change with AQE/cluster size, while pmod(hash(key)) bucketing is
+stable across runs and cluster shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CheckpointedJob:
+    def __init__(self, ckpt_root: str, job: str, snapshot_id: int, n_buckets: int = 32):
+        self.root = os.path.join(ckpt_root, job, f"snap={snapshot_id}")
+        self.snapshot_id = snapshot_id
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
+
+    # -- manifest bookkeeping ------------------------------------------------
+
+    def _manifest_path(self, bucket: int) -> str:
+        return os.path.join(self.root, "_manifests", f"bucket={bucket}.json")
+
+    def committed_buckets(self) -> set[int]:
+        d = os.path.join(self.root, "_manifests")
+        return {
+            int(f.split("=")[1].split(".")[0])
+            for f in os.listdir(d)
+            if f.startswith("bucket=") and f.endswith(".json")
+        }
+
+    def pending_buckets(self) -> list[int]:
+        done = self.committed_buckets()
+        return [b for b in range(self.n_buckets) if b not in done]
+
+    def manifests(self) -> list[dict]:
+        return [json.load(open(self._manifest_path(b))) for b in sorted(self.committed_buckets())]
+
+    # -- execution -----------------------------------------------------------
+
+    def run(
+        self,
+        source: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        bucket_key: str,
+        fail_after: int | None = None,
+    ) -> list[int]:
+        """Process all pending buckets; returns the buckets committed this call.
+
+        ``fail_after`` aborts after N buckets (test hook for kill/resume).
+        """
+        bucketed = source.withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(self.n_buckets)).cast("int")
+        )
+        committed = []
+        for i, b in enumerate(self.pending_buckets()):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(f"injected failure after {fail_after} buckets")
+            t0 = time.time()
+            part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
+            in_rows = part.count()
+            out = transform(part)
+            path = os.path.join(self.root, f"bucket={b}")
+            out.write.mode("overwrite").parquet(path)
+            spark = source.sparkSession
+            written = spark.read.parquet(path)
+            out_rows = written.count()
+            checksum = written.select(
+                F.sum(F.pmod(F.xxhash64(*sorted(written.columns)), F.lit(1_000_000_007))).alias("c")
+            ).collect()[0]["c"]
+            manifest = {
+                "snapshot_id": self.snapshot_id,
+                "bucket": b,
+                "input_rows": in_rows,
+                "output_rows": out_rows,
+                "checksum": int(checksum) if checksum is not None else 0,
+                "wall_ms": int((time.time() - t0) * 1000),
+            }
+            tmp = self._manifest_path(b) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path(b))  # atomic commit marker
+            committed.append(b)
+        return committed
+
+    def read_output(self, spark) -> DataFrame:
+        done = sorted(self.committed_buckets())
+        if len(done) != self.n_buckets:
+            raise RuntimeError(f"snapshot incomplete: {len(done)}/{self.n_buckets} buckets committed")
+        return spark.read.parquet(*[os.path.join(self.root, f"bucket={b}") for b in done])

@@ -45,11 +45,55 @@ def context_col(tokens_col: str, pos_col: str, offset: int) -> Column:
 
 
 def with_context_window(df: DataFrame, k: int = 2, tokens_col: str = "tokens", pos_col: str = "pos") -> DataFrame:
-    """Add lag_1..lag_k / lead_1..lead_k sentinel-padded context columns."""
+    """Add lag_1..lag_k / lead_1..lead_k sentinel-padded context columns.
+
+    Post-explode form: requires the tokens array on each exploded row. NOTE —
+    carrying the array through the explode costs O(len^2) memory traffic per
+    doc; prefer ``explode_with_context`` (O(len*k)) on long documents.
+    """
     for i in range(1, k + 1):
         df = df.withColumn(f"lag_{i}", context_col(tokens_col, pos_col, -i))
         df = df.withColumn(f"lead_{i}", context_col(tokens_col, pos_col, i))
     return df
+
+
+def shifted_col(tokens_col: str, offset: int) -> Column:
+    """The tokens array shifted by ``offset`` with sentinel padding.
+
+    shifted[p] = tokens[p+offset], START/END-padded — built array-side so the
+    per-doc cost is O(len) regardless of how the result is consumed.
+    """
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    i = abs(offset)
+    if offset < 0:
+        pad = F.array_repeat(F.lit(START_ID), F.least(F.lit(i), n))
+        body = F.slice(toks, 1, F.greatest(n - i, F.lit(0)))
+        return F.concat(pad, body)
+    pad = F.array_repeat(F.lit(END_ID), F.least(F.lit(i), n))
+    body = F.when(n > i, F.slice(toks, i + 1, n - i)).otherwise(F.array().cast("array<int>"))
+    return F.concat(body, pad)
+
+
+def explode_with_context(
+    df: DataFrame, k: int = 2, tokens_col: str = "tokens", keep: list[str] | None = None
+) -> DataFrame:
+    """Per-token rows with lag/lead context, WITHOUT carrying the array per row.
+
+    Zips the tokens array with its +/-1..k shifted copies (O(len*k) per doc),
+    then posexplodes the zipped struct array — each output row holds only its
+    own struct, so the 100x-token-length doc costs linear, not quadratic,
+    memory traffic. Narrow plan: zero shuffles.
+    """
+    keep = keep if keep is not None else [c for c in df.columns if c != tokens_col]
+    arrs = [F.col(tokens_col).alias("tok")]
+    names = ["tok"]
+    for i in range(1, k + 1):
+        arrs.append(shifted_col(tokens_col, -i).alias(f"lag_{i}"))
+        arrs.append(shifted_col(tokens_col, i).alias(f"lead_{i}"))
+        names += [f"lag_{i}", f"lead_{i}"]
+    z = df.select(*keep, F.posexplode(F.arrays_zip(*arrs)).alias("pos", "__z"))
+    return z.select(*keep, "pos", *[F.col(f"__z.{n}").alias(n) for n in names])
 
 
 def sessionize(
@@ -82,18 +126,78 @@ def rolling_count(
     window_seconds: int,
     out_col: str = "rolling_n",
     value_col: str | None = None,
+    strategy: str = "difference",
 ) -> DataFrame:
     """Event-time rolling count (or sum of value_col) over the trailing window.
 
-    Frame: [ts - window_seconds, ts] inclusive, per entity. RANGE frame over
-    epoch seconds — all rows with equal ts share the same value (matches SQL
-    RANGE semantics, so the DuckDB oracle is exact).
+    Frame: [ts - window_seconds, ts] inclusive, per entity. Equal-ts rows
+    share the same value (SQL RANGE semantics — the DuckDB oracle is exact).
+
+    strategy="difference" (default, the scale path): Spark's WindowExec
+    recomputes SLIDING frames from scratch per row — O(n * rows_in_window) —
+    which degenerates catastrophically on dense timestamps. GROWING frames
+    (unboundedPreceding -> currentRow) are incremental, so we compute
+        rolling(t) = cum_le(t) - cnt_lt(t - W)
+    with growing-frame passes: cum_le over the events, and cnt_lt via PROBE
+    rows at (ts - W) unioned into the stream (probes sort BEFORE events at
+    equal time, giving the strict <), joined back by a per-entity row number.
+    O(n log n) total, JVM-only.
+
+    strategy="range": the naive RANGE frame — fine for sparse windows, kept
+    for tiny inputs and as the semantics reference.
     """
-    w = (
-        Window.partitionBy(entity)
-        .orderBy(F.col(ts).cast("double"))
-        .rangeBetween(-int(window_seconds), 0)
-    )
+    if strategy == "range":
+        w = (
+            Window.partitionBy(entity)
+            .orderBy(F.col(ts).cast("double"))
+            .rangeBetween(-int(window_seconds), 0)
+        )
+        if value_col is None:
+            return df.withColumn(out_col, F.count(F.lit(1)).over(w).cast("long"))
+        return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
+    if strategy != "difference":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    tdouble = F.col(ts).cast("double")
+    delta_type = "long" if value_col is None else dict(df.dtypes)[value_col]
+    w_grow = Window.partitionBy(entity).orderBy(tdouble).rangeBetween(Window.unboundedPreceding, 0)
+    w_rid = Window.partitionBy(entity).orderBy(tdouble)
     if value_col is None:
-        return df.withColumn(out_col, F.count(F.lit(1)).over(w).cast("long"))
-    return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
+        cum_le = F.count(F.lit(1)).over(w_grow).cast("long")
+    else:
+        cum_le = F.sum(F.col(value_col)).over(w_grow)
+    ev = df.withColumn("__cum_le", cum_le).withColumn("__rid", F.row_number().over(w_rid))
+
+    # probe stream at ts - W; __side 0 sorts before events at equal time -> strict <
+    probes = ev.select(
+        F.col(entity).alias("__ent"),
+        (tdouble - F.lit(float(window_seconds))).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col("__rid").alias("__prid"),
+        F.lit(None).cast(delta_type).alias("__delta"),
+    )
+    events = ev.select(
+        F.col(entity).alias("__ent"),
+        tdouble.alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("int").alias("__prid"),
+        (F.lit(1).cast("long") if value_col is None else F.col(value_col)).alias("__delta"),
+    )
+    w_cum = (
+        Window.partitionBy("__ent")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = events.unionByName(probes).withColumn(
+        "__cnt_lt", F.coalesce(F.sum("__delta").over(w_cum), F.lit(0).cast(delta_type))
+    )
+    probe_res = merged.filter(F.col("__side") == 0).select("__ent", "__prid", "__cnt_lt")
+    out = ev.join(
+        probe_res,
+        (ev[entity] == probe_res["__ent"]) & (ev["__rid"] == probe_res["__prid"]),
+        "left",
+    )
+    result = F.col("__cum_le") - F.coalesce(F.col("__cnt_lt"), F.lit(0).cast(delta_type))
+    if value_col is None:
+        result = result.cast("long")
+    return out.select(*[F.col(c) for c in df.columns], result.alias(out_col))

@@ -1,0 +1,130 @@
+"""Checkpoint/resume, TableIO snapshots, multimodal plumbing, streaming,
+corpus sources — the operational surface."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marmot_spark.checkpoint import CheckpointedJob
+from marmot_spark.operators.multimodal import (
+    attach_media,
+    default_decoder,
+    extract_media_features,
+    fake_decoder,
+)
+from marmot_spark.sources.corpus import read_alignment_file, read_token_corpus, read_wmt_tsv
+from marmot_spark.sources.tables import TableIO
+from marmot_spark.streaming.stream import streaming_session_counts, streaming_source
+
+
+def test_checkpoint_resume_idempotent(spark, fixture_dir, tmp_path):
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet")
+    transform = lambda df: df.withColumn("n2", F.col("n_tok") * 2)  # noqa: E731
+
+    job = CheckpointedJob(str(tmp_path), "feat", snapshot_id=1, n_buckets=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(seqs, transform, bucket_key="doc_id", fail_after=3)
+    assert len(job.committed_buckets()) == 3
+    with pytest.raises(RuntimeError, match="incomplete"):
+        job.read_output(spark)
+
+    # resume: only remaining buckets run; final result == direct computation
+    done2 = CheckpointedJob(str(tmp_path), "feat", snapshot_id=1, n_buckets=8).run(
+        seqs, transform, bucket_key="doc_id"
+    )
+    assert len(done2) == 5
+    out = job.read_output(spark)
+    assert out.count() == seqs.count()
+    direct = transform(seqs)
+    assert out.exceptAll(direct).count() == 0 and direct.exceptAll(out).count() == 0
+
+    # second resume is a no-op (idempotent)
+    done3 = CheckpointedJob(str(tmp_path), "feat", snapshot_id=1, n_buckets=8).run(
+        seqs, transform, bucket_key="doc_id"
+    )
+    assert done3 == []
+    # lineage manifests carry metrics
+    ms = job.manifests()
+    assert len(ms) == 8
+    assert sum(m["input_rows"] for m in ms) == seqs.count()
+    assert all(m["wall_ms"] >= 0 and "checksum" in m for m in ms)
+
+
+def test_tableio_snapshots(spark, fixture_dir, tmp_path):
+    tio = TableIO(spark, str(tmp_path))
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet").limit(100)
+    s1 = tio.write(seqs, "sequences")
+    s2 = tio.write(seqs.limit(10), "sequences")
+    assert tio.snapshots("sequences") == sorted([s1, s2])
+    assert tio.read("sequences", version_as_of=s1).count() == 100
+    assert tio.read("sequences").count() == 10  # latest
+    with pytest.raises(FileNotFoundError):
+        tio.read("sequences", version_as_of=123)
+    with pytest.raises(FileNotFoundError):
+        tio.read("nope")
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = attach_media(docs, "text", "blob/text", "doc_id")
+    assert [f.name for f in media.schema.fields] == ["id", "content", "meta"]
+    feats = extract_media_features(media, decoder=fake_decoder).toPandas()
+    assert len(feats) == 50
+    assert (feats["feat_dim"] == 4).all()
+    assert (feats["n_bytes"] > 0).all()
+    # determinism
+    feats2 = extract_media_features(attach_media(docs, "text", "blob/text", "doc_id"), decoder=fake_decoder).toPandas()
+    assert feats.sort_values("id").reset_index(drop=True).equals(feats2.sort_values("id").reset_index(drop=True))
+
+
+def test_multimodal_default_decoder_is_stub():
+    with pytest.raises(NotImplementedError):
+        default_decoder(b"abc", "image/png")
+
+
+def test_streaming_sessionize(spark, sf_dir, tmp_path):
+    # streaming file source requires a directory
+    import shutil
+
+    ev_dir = tmp_path / "events_stream"
+    ev_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "part-0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = streaming_source(spark, str(ev_dir), schema)
+    agg = streaming_session_counts(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM sess_out")
+    # append mode emits only watermark-closed sessions; check shape + sanity
+    assert out.columns == ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert out.count() > 0
+    assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_corpus_sources(spark, tmp_path):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("the quick fox\njumps over\n")
+    df = read_token_corpus(spark, str(corpus)).orderBy("doc_id").collect()
+    assert df[0]["tokens"] == ["the", "quick", "fox"] and df[0]["n_tok"] == 3
+    assert df[1]["tokens"] == ["jumps", "over"]
+
+    wmt = tmp_path / "wmt.tsv"
+    wmt.write_text("0\t0\thello\tOK\n0\t1\tworld\tBAD\n1\t0\tbye\tOK\n")
+    rows = {r["doc_id"]: r for r in read_wmt_tsv(spark, str(wmt)).collect()}
+    assert rows["s00000000"]["tokens"] == ["hello", "world"]
+    assert rows["s00000000"]["tags"] == ["OK", "BAD"]
+    assert rows["s00000001"]["tokens"] == ["bye"]
+
+    al = tmp_path / "align.txt"
+    al.write_text("0-0 1-1 1-2\n0-1\n")
+    arows = {r["doc_id"]: r for r in read_alignment_file(spark, str(al)).collect()}
+    assert arows["s00000000"]["align"] == [[0], [1, 2]]
+    assert arows["s00000001"]["align"] == [[1]]
