@@ -101,28 +101,43 @@ def minhash_lsh_pairs(
     → dedupe candidate pairs → verify exact Jaccard on the shingle sets.
     """
     n_bands = n_hashes // rows_per_band
-    sig = df.select(F.col(id_col).alias("id"), shingle_hashes_col(tokens_col, k_shingle).alias("sh"))
-    sig = sig.select("id", "sh", *minhash_signature_cols("sh", n_hashes)).filter(F.size("sh") > 0)
+    # One evaluation of the (interpreted, HOF-based) shingle fold: explode the
+    # shingles, then a SINGLE codegen'd aggregation rebuilds the distinct
+    # shingle set AND computes all minhashes. Projection collapse would
+    # otherwise inline the fold into every consumer (n_hashes+2 evaluations).
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_hashes_col(tokens_col, k_shingle)).alias("s")
+    )
+    sig = ex.groupBy("id").agg(
+        F.collect_set("s").alias("sh"),
+        *[F.min(_hash_k(F.col("s"), k)).alias(f"mh_{k}") for k in range(n_hashes)],
+    )
+    sh_df = sig.select("id", "sh")
+    mh = sig
 
-    bands = sig.select(
+    bands = mh.select(
         "id",
-        "sh",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), band_hash_col(n_hashes, rows_per_band, b).alias("bh")) for b in range(n_bands)])
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     # guardrail: drop degenerate hot buckets before the self-join explodes
     wcnt = Window.partitionBy("band", "bh")
     bands = bands.withColumn("__bsz", F.count(F.lit(1)).over(wcnt)).filter(F.col("__bsz") <= max_bucket).drop("__bsz")
 
-    a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh")
-    b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh")
+    # candidate ids only — the shingle arrays join in once per surviving pair
+    a = bands.select(F.col("id").alias("id_a"), "band", "bh")
+    b = bands.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     return (
         cand.withColumn("jaccard_ppm", jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
