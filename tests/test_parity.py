@@ -127,3 +127,29 @@ def test_sessionize_parity(spark, fixture_dir):
         ["source", "seq_ts", "doc_id", "n_tok"], kind="stable"
     )
     assert np.array_equal(got["session_id"].to_numpy(), w_sorted["session_id"].to_numpy())
+
+
+def test_chunked_sessionize_and_rolling_match_serial(spark, fixture_dir):
+    """n_chunks (hot-key scan parallelization) must be exactly equal to serial."""
+    from marmot_spark.operators.windows import rolling_count
+
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet").select(
+        "doc_id", "seq_ts", "n_tok", "source"
+    )
+    cols = ["doc_id", "seq_ts", "n_tok", "source"]
+    a = sessionize(seqs, "source", "seq_ts", 60.0, order_extra=["doc_id", "n_tok"], n_chunks=5)
+    b = sessionize(seqs, "source", "seq_ts", 60.0, order_extra=["doc_id", "n_tok"])
+    sel = cols + ["session_id"]
+    assert a.select(sel).exceptAll(b.select(sel)).count() == 0
+
+    for vc in [None, "n_tok"]:
+        a = rolling_count(seqs, "source", "seq_ts", 3600, "rn", value_col=vc, n_chunks=5)
+        b = rolling_count(seqs, "source", "seq_ts", 3600, "rn", value_col=vc)
+        sel = cols + ["rn"]
+        assert a.select(sel).exceptAll(b.select(sel)).count() == 0, vc
+
+    # guard: chunking a high-cardinality entity is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="low-cardinality"):
+        sessionize(seqs, "doc_id", "seq_ts", 60.0, n_chunks=4).collect()
