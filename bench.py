@@ -31,6 +31,7 @@ import __spark_entry__ as entrymod
 from marmot_spark.fixtures import write_fixture_dir
 from marmot_spark.operators.asof import asof_join
 from marmot_spark.operators.windows import (
+    entity_time_bounds,
     explode_with_context,
     rolling_count,
     sessionize,
@@ -81,9 +82,12 @@ def flagship_pipeline(spark, data_dir: str):
     # source has 4 values with a 55%-hot key: chunked scans keep the
     # per-entity ordered passes parallel (4 entities x 16 chunks = 64 tasks).
     # rolling_count first: its probe-join references its input 3x, so feed it
-    # the cheap scan rather than the sessionize output
-    base = rolling_count(seqs, "source_key", "seq_ts", 7200, "rolling_docs", n_chunks=16)
-    base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"], n_chunks=16)
+    # the cheap scan rather than the sessionize output. Chunk bounds are
+    # collected ONCE from the raw scan and shared — each chunked operator
+    # collecting its own bounds would re-execute the upstream plan.
+    bounds = entity_time_bounds(seqs, "source_key", "seq_ts")
+    base = rolling_count(seqs, "source_key", "seq_ts", 7200, "rolling_docs", n_chunks=16, bounds=bounds)
+    base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"], n_chunks=16, bounds=bounds)
     base = asof_join(
         base, labels, on="doc_key", left_ts="seq_ts", right_ts="label_ts",
         payload=["tag_ok", "score"], tie_break="label_seq",
@@ -108,16 +112,17 @@ def main():
     spark = build_session("marmot_spark_bench", master=f"local[{cpus}]")
     results: dict[str, float] = {}
 
-    # flagship: feature-rows/sec end-to-end
-    flag = flagship_pipeline(spark, data_dir)
-    n_feature_rows = None
-    t0 = time.time()
+    # flagship: feature-rows/sec end-to-end. Timed window includes plan
+    # construction (the chunk-bounds collect is real work the job pays).
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "flagship_out")
     shutil.rmtree(out_dir, ignore_errors=True)
-    flag.write.mode("overwrite").parquet(out_dir)
+    t0 = time.time()
+    flagship_pipeline(spark, data_dir).write.mode("overwrite").parquet(out_dir)
     results["flagship_sink"] = time.time() - t0
     n_feature_rows = spark.read.parquet(out_dir).count()
-    results["flagship_noop"] = _time_noop(flagship_pipeline(spark, data_dir))
+    t0 = time.time()
+    flagship_pipeline(spark, data_dir).write.format("noop").mode("overwrite").save()
+    results["flagship_noop"] = time.time() - t0
     rows_per_sec = n_feature_rows / results["flagship_noop"]
 
     qs = entrymod.queries()

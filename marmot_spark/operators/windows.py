@@ -104,6 +104,7 @@ def sessionize(
     session_col: str = "session_id",
     order_extra: list[str] | None = None,
     n_chunks: int | None = None,
+    bounds: dict | None = None,
 ) -> DataFrame:
     """Gap-based session ids per entity (1-based, in event order).
 
@@ -131,7 +132,7 @@ def sessionize(
             F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
         )
 
-    chunked = _with_time_chunk(df, entity, tdouble, n_chunks)
+    chunked = _with_time_chunk(df, entity, tdouble, n_chunks, bounds=bounds)
     order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
     w_loc = Window.partitionBy(entity, "__chunk").orderBy(*order)
     gap = tdouble - F.lag(tdouble, 1).over(w_loc)
@@ -165,7 +166,23 @@ def sessionize(
     )
 
 
-def _with_time_chunk(df: DataFrame, entity: str, tdouble, n_chunks: int) -> DataFrame:
+def entity_time_bounds(df: DataFrame, entity: str, ts: str) -> dict:
+    """Per-entity (min, max) of ``ts`` as double — one tiny aggregate, collected once.
+
+    Compute this on the CHEAPEST upstream frame (usually the raw scan) and pass
+    it to ``sessionize``/``rolling_count`` via ``bounds=``: chunking only needs
+    the time range per entity, and row-preserving operators upstream don't
+    change it. Without precomputed bounds each chunked operator collects its
+    own, which re-executes the whole upstream plan at plan-build time.
+    """
+    tdouble = F.col(ts).cast("double")
+    rows = df.groupBy(entity).agg(F.min(tdouble).alias("mn"), F.max(tdouble).alias("mx")).collect()
+    return {r[entity]: (r["mn"], r["mx"]) for r in rows}
+
+
+def _with_time_chunk(
+    df: DataFrame, entity: str, tdouble, n_chunks: int, bounds: dict | None = None
+) -> DataFrame:
     """Assign each row a per-entity time-range chunk id in [0, n_chunks).
 
     Range chunking (not hash) keeps equal timestamps together and preserves
@@ -173,24 +190,28 @@ def _with_time_chunk(df: DataFrame, entity: str, tdouble, n_chunks: int) -> Data
     per-entity min/max aggregate collected ONCE to the driver and inlined as
     literal CASE branches: a broadcast-join would re-execute per plan branch
     and add an exchange + stage per consumer, which dominates wall time on
-    small-to-medium inputs.
+    small-to-medium inputs. Rows whose entity is missing from ``bounds`` (or
+    whose ts falls outside) clamp into chunk 0 / n_chunks-1 — correctness never
+    depends on bounds being tight, only parallelism does.
     """
-    rows = df.groupBy(entity).agg(F.min(tdouble).alias("mn"), F.max(tdouble).alias("mx")).collect()
-    if len(rows) > 64:
+    if bounds is None:
+        rows = df.groupBy(entity).agg(F.min(tdouble).alias("mn"), F.max(tdouble).alias("mx")).collect()
+        bounds = {r[entity]: (r["mn"], r["mx"]) for r in rows}
+    if len(bounds) > 64:
         raise ValueError(
             f"n_chunks chunking is for low-cardinality/hot entities; {entity!r} has "
-            f"{len(rows)} values — a plain per-entity window already parallelizes"
+            f"{len(bounds)} values — a plain per-entity window already parallelizes"
         )
-    chunk = F.lit(0)
     expr = None
-    for r in rows:
-        mn, mx = r["mn"], r["mx"]
+    for ent, (mn, mx) in bounds.items():
         if mn is None or mx is None or mx <= mn:
             branch = F.lit(0)
         else:
             span = (mx - mn) / n_chunks
-            branch = F.least(F.floor((tdouble - F.lit(mn)) / F.lit(span)), F.lit(n_chunks - 1))
-        cond = F.col(entity).isNull() if r[entity] is None else (F.col(entity) == F.lit(r[entity]))
+            branch = F.greatest(
+                F.least(F.floor((tdouble - F.lit(mn)) / F.lit(span)), F.lit(n_chunks - 1)), F.lit(0)
+            )
+        cond = F.col(entity).isNull() if ent is None else (F.col(entity) == F.lit(ent))
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     chunk = F.coalesce(expr, F.lit(0)) if expr is not None else F.lit(0)
     return df.withColumn("__chunk", chunk.cast("int"))
@@ -205,6 +226,7 @@ def rolling_count(
     value_col: str | None = None,
     strategy: str = "difference",
     n_chunks: int | None = None,
+    bounds: dict | None = None,
 ) -> DataFrame:
     """Event-time rolling count (or sum of value_col) over the trailing window.
 
@@ -244,7 +266,7 @@ def rolling_count(
         # time range, compute local running totals, add broadcast per-chunk
         # offsets (cumulative totals of earlier chunks). Equal timestamps
         # stay in one chunk, so RANGE semantics are preserved exactly.
-        base = _with_time_chunk(df, entity, tdouble, n_chunks)
+        base = _with_time_chunk(df, entity, tdouble, n_chunks, bounds=bounds)
         w_loc_grow = (
             Window.partitionBy(entity, "__chunk").orderBy(tdouble)
             .rangeBetween(Window.unboundedPreceding, 0)
@@ -296,7 +318,13 @@ def rolling_count(
     )
     merged_src = events.unionByName(probes)
     if n_chunks and n_chunks > 1:
-        merged_src = _with_time_chunk(merged_src, "__ent", F.col("__t"), n_chunks)
+        # merged stream spans [mn - W, mx] (probe rows sit at ts - W): derive
+        # its bounds analytically from the event bounds — no second collect
+        mbounds = None
+        if bounds is not None:
+            w = float(window_seconds)
+            mbounds = {k: (mn - w if mn is not None else None, mx) for k, (mn, mx) in bounds.items()}
+        merged_src = _with_time_chunk(merged_src, "__ent", F.col("__t"), n_chunks, bounds=mbounds)
         w_loc_cum = (
             Window.partitionBy("__ent", "__chunk")
             .orderBy(F.col("__t").asc(), F.col("__side").asc())

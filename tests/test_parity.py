@@ -148,6 +148,24 @@ def test_chunked_sessionize_and_rolling_match_serial(spark, fixture_dir):
         sel = cols + ["rn"]
         assert a.select(sel).exceptAll(b.select(sel)).count() == 0, vc
 
+    # precomputed bounds (single collect on the cheap scan) must be identical,
+    # even when the bounds are LOOSE — out-of-range rows clamp into end chunks
+    from marmot_spark.operators.windows import entity_time_bounds
+
+    bounds = entity_time_bounds(seqs, "source", "seq_ts")
+    loose = {k: (mn - 10.0, mx + 250.0) for k, (mn, mx) in bounds.items()}
+    for bset in [bounds, loose]:
+        a = sessionize(seqs, "source", "seq_ts", 60.0, order_extra=["doc_id", "n_tok"], n_chunks=5, bounds=bset)
+        sel = cols + ["session_id"]
+        assert a.select(sel).exceptAll(
+            sessionize(seqs, "source", "seq_ts", 60.0, order_extra=["doc_id", "n_tok"]).select(sel)
+        ).count() == 0
+        r = rolling_count(seqs, "source", "seq_ts", 3600, "rn", n_chunks=5, bounds=bset)
+        sel = cols + ["rn"]
+        assert r.select(sel).exceptAll(
+            rolling_count(seqs, "source", "seq_ts", 3600, "rn").select(sel)
+        ).count() == 0
+
     # guard: chunking a high-cardinality entity is refused
     import pytest as _pytest
 
