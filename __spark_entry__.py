@@ -39,7 +39,12 @@ from marmot_spark.operators.dedup import (
     simhash_col,
 )
 from marmot_spark.operators.ngrams import ngram_counts, with_ngram_membership
-from marmot_spark.operators.similarity import brute_force_topk, lsh_topk
+from marmot_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_cosine_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from marmot_spark.operators.windows import (
     explode_tokens,
     explode_with_context,
@@ -730,6 +735,93 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+_DOT_SQL = (
+    "CAST(list_sum(list_transform(range(len({a})), "
+    "i -> {a}[CAST(i AS INT)+1] * {b}[CAST(i AS INT)+1])) AS BIGINT)"
+)
+
+
+def _bucket_sql(v: str, n_planes: int) -> str:
+    """SQL mirror of similarity.bucket_col: packed hyperplane sign bits."""
+    parts = []
+    for p in range(n_planes):
+        parts.append(
+            f"(CASE WHEN CAST(list_sum(list_transform(range(len({v})), i -> "
+            f"CASE WHEN ((CAST(i AS BIGINT) + {p * 1_000_003 + 1}) * {MULT}) % {P31} % 2 = 0 "
+            f"THEN {v}[CAST(i AS INT)+1] ELSE -{v}[CAST(i AS INT)+1] END)) AS BIGINT) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def _q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup: corpus unioned with rescaled (re-encoded)
+    copies; LSH-bucketed candidates, exact integer-quantized cosine verify."""
+    emb = _tbl(spark, sf, "embeddings")
+    base = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.01)).alias("embedding"),
+    )
+    return embedding_cosine_pairs(
+        base.unionByName(copies), id_col="vec_id", emb_col="embedding",
+        threshold_ppm=950_000, n_planes=6,
+    )
+
+
+def _sql_dedup_embedding_cosine() -> str:
+    dot_ab = _DOT_SQL.format(a="a.q", b="b.q")
+    dot_qq = _DOT_SQL.format(a="q", b="q")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE))
+  FROM embeddings
+),
+v0 AS (SELECT vec_id AS id, {_quant_sql('embedding')} AS q FROM base),
+v1 AS (SELECT id, q, {dot_qq} AS n2 FROM v0),
+v AS (SELECT id, q, n2, CAST({_bucket_sql('q', 6)} AS BIGINT) AS bucket FROM v1 WHERE n2 > 0)
+SELECT id_a, id_b, cos_ppm FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(floor(CAST({dot_ab} * 1000000 AS DOUBLE) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))) AS BIGINT) AS cos_ppm
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+) WHERE cos_ppm >= 950000
+"""
+
+
+def _q_ann_ivf(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_ann_ivf() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cell, {_quant_sql('embedding')} AS qcent
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+c AS (SELECT vec_id AS neighbor_id, {_quant_sql('embedding')} AS qc FROM embeddings),
+ca AS (SELECT neighbor_id, qc, cell FROM (
+    SELECT c.neighbor_id, c.qc, cent.cell,
+      row_number() OVER (PARTITION BY c.neighbor_id
+                         ORDER BY {_DOT_SQL.format(a='c.qc', b='cent.qcent')} DESC, cent.cell) AS rn
+    FROM c, cent) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, {_quant_sql('embedding')} AS qq FROM embeddings WHERE vec_id < 5),
+qp AS (SELECT query_id, qq, cell FROM (
+    SELECT q.query_id, q.qq, cent.cell,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_DOT_SQL.format(a='q.qq', b='cent.qcent')} DESC, cent.cell) AS rn
+    FROM q, cent) WHERE rn <= 2),
+s AS (SELECT query_id, neighbor_id, {_DOT_SQL.format(a='qp.qq', b='ca.qc')} AS score
+      FROM qp JOIN ca USING (cell) WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 def _q_ann_lsh(spark, sf):
     emb = _tbl(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -813,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "multimodal_meta": _q_multimodal_meta,
     }
 
@@ -849,5 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_FINGERPRINT,
         "ann_brute_force": _SQL_ANN_BF,
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
+        "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
         "multimodal_meta": _SQL_MULTIMODAL,
     }

@@ -128,3 +128,48 @@ def test_corpus_sources(spark, tmp_path):
     arows = {r["doc_id"]: r for r in read_alignment_file(spark, str(al)).collect()}
     assert arows["s00000000"]["align"] == [[0], [1, 2]]
     assert arows["s00000001"]["align"] == [[1]]
+
+
+def test_ivf_topk_recall_and_shape(spark, sf_dir):
+    """IVF ANN: correct schema, subset-of-brute-force scores within probed cells."""
+    from marmot_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    ivf = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2).collect()
+    assert len(ivf) == 15  # 3 queries x k
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(emb, queries, k=500).collect()
+    }
+    for r in ivf:
+        # every IVF score must equal the exact score for that pair
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["score"]
+    # ranks are 1..k per query, descending scores
+    by_q = {}
+    for r in sorted(ivf, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["score"])
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_cosine_pairs_finds_rescaled_copies(spark, sf_dir):
+    """A rescaled copy of every vector must pair with its original at ~cos=1."""
+    from marmot_spark.operators.similarity import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    base = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.01)).alias("embedding"),
+    )
+    pairs = embedding_cosine_pairs(
+        base.unionByName(copies), threshold_ppm=950_000, n_planes=6
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # near-all copies found (a copy can miss only via a quantization sign flip)
+    expected = {(i, i + 100000) for i in range(50)}
+    assert len(found & expected) >= 48
+    assert all(r["cos_ppm"] >= 950_000 for r in pairs)
+    # no false positives: every surviving pair is an (original, copy) pair
+    assert found <= expected
