@@ -1,0 +1,114 @@
+"""Physical-plan audits: the scale-critical properties the engine relies on.
+
+These assert the *plan*, not the result — a correct-but-degenerate plan (full
+scan for a 2-column projection, sort-merge join against a dictionary, a
+shuffle inside the narrow explode) would pass every value test and still fall
+over at 100 TB. Each test pins one property:
+
+* predicate pushdown + column pruning reach the parquet scan,
+* dictionary joins broadcast (never sort-merge),
+* the context-window explode is shuffle-free,
+* the flagship pipeline stays within its shuffle budget,
+* hot expressions run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars") > 100)
+        .select("doc_id", "lang")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in plan
+    # ReadSchema carries only the touched columns — not text/source
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema and "source" not in read_schema
+
+
+def test_dictionary_join_broadcasts(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["tpch_join_agg"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # J3: n-gram membership against the (small) LM dict must broadcast too
+    plan = plan_of(e.queries()["j3_ngram_membership"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_explode_with_context_is_shuffle_free(spark, sf_dir):
+    from marmot_spark.operators.windows import explode_with_context
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "tokens", F.transform(F.split("text", " "), lambda x: F.length(x).cast("int"))
+    )
+    plan = plan_of(explode_with_context(docs, k=2, keep=["doc_id"]))
+    assert "Exchange" not in plan, "context-window explode must stay narrow"
+    assert "Generate" in plan and "posexplode" in plan
+
+
+def test_flagship_shuffle_budget(spark):
+    """The bench flagship must not grow extra shuffles as it evolves.
+
+    Budget: rolling_count (2 window passes + probe join), sessionize
+    (1 window pass + offset join), as-of (1 partition-by-key window) — every
+    hashpartitioning rides source_key/doc_key; the final explode adds none.
+    """
+    import re
+
+    import bench
+
+    flag = bench.flagship_pipeline(spark, bench._bench_data())
+    plan = plan_of(flag, "simple")
+    # static plans duplicate subtrees per reference (runtime dedupes identical
+    # exchanges via ReuseExchange); the stable invariant is the set of DISTINCT
+    # shuffle key shapes, normalized over expr-ids
+    keys = {
+        re.sub(r"#\d+", "", m)
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert len(keys) <= 8, f"flagship shuffle key shapes grew: {sorted(keys)}"
+    assert "Exchange rangepartitioning" not in plan  # no stray global sorts
+    assert "Exchange SinglePartition" not in plan  # nothing serializes on one task
+    # the 57M-row explode is the LAST stage — nothing shuffles after it
+    head = plan.split("Generate", 1)[0]
+    assert "Exchange" not in head, "no shuffle may sit above the explode"
+
+
+def test_window_features_in_codegen(spark, sf_dir):
+    """W1 context features (shift/zip/explode) run inside whole-stage codegen —
+    no Python workers, no row-at-a-time eval in the hot path."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["w1_context_window"](spark, sf_dir))
+    assert "[codegen id :" in plan  # explode + projections inside codegen stages
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_flagship_has_no_python_udfs(spark):
+    """input_hint: vectorized/JVM throughout — the default flagship path keeps
+    Python out entirely (mapInPandas appears only in the opt-in merge kernel)."""
+    import bench
+
+    plan = plan_of(bench.flagship_pipeline(spark, bench._bench_data()), "simple")
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"]:
+        assert marker not in plan, marker
