@@ -37,7 +37,14 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing OFF: AQE merges post-shuffle partitions by shuffle BYTES,
+        # which under-counts fan-out operators — our flagship explodes ~95x
+        # after the as-of shuffle, and byte-based coalescing was measured to
+        # fuse six balanced 3.6M-feature-row partitions into one 20.6M-row
+        # straggler (36% of the stage on one task). The engine sizes shuffle
+        # partitions explicitly (cores-matched locally, 2-3x cores on a
+        # cluster); skew-join splitting stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # read parquet naive timestamps as TIMESTAMP (UTC), not TIMESTAMP_NTZ:
