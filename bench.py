@@ -77,7 +77,7 @@ def flagship_pipeline(spark, data_dir: str):
         .otherwise(-F.substring("doc_id", 2, 8).cast("long") - 1).alias("doc_key"),
         "label_ts", "label_seq",
         (F.col("tag") == "OK").cast("tinyint").alias("tag_ok"),
-        "score",
+        F.col("score").cast("float").alias("score"),  # ML-feature precision
     )
     # source has 4 values with a 55%-hot key: chunked scans keep the
     # per-entity ordered passes parallel (4 entities x 16 chunks = 64 tasks).
@@ -88,6 +88,12 @@ def flagship_pipeline(spark, data_dir: str):
     bounds = entity_time_bounds(seqs, "source_key", "seq_ts")
     base = rolling_count(seqs, "source_key", "seq_ts", 7200, "rolling_docs", n_chunks=16, bounds=bounds)
     base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"], n_chunks=16, bounds=bounds)
+    # narrow the per-feature-row payload before the 95x explode: session ids
+    # and 2h rolling counts fit int32 by construction (sessions per source are
+    # bounded by timeline seconds / gap), and every byte here is paid 57M times
+    base = base.withColumn("session_id", F.col("session_id").cast("int")).withColumn(
+        "rolling_docs", F.col("rolling_docs").cast("int")
+    )
     base = asof_join(
         base, labels, on="doc_key", left_ts="seq_ts", right_ts="label_ts",
         payload=["tag_ok", "score"], tie_break="label_seq",
