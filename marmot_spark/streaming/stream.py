@@ -15,6 +15,7 @@ a deterministic drain of a parquet-backed stream.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -22,6 +23,41 @@ from pyspark.sql.types import StructType
 
 def streaming_source(spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet") -> DataFrame:
     return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def streaming_stateful_totals(
+    events: DataFrame,
+    entity: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-entity
+    running (n_events, sum_value) maintained in GroupState across micro-batches.
+
+    The arbitrary-stateful escape hatch for semantics session_window/agg can't
+    express (the streaming analogue of the engine's batch kernels): state is
+    a single tuple per key, updates are vectorized per Arrow batch (pandas
+    sums — never per-row Python over events), output mode "update" emits one
+    row per touched key per micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{entity} long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({entity: [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        events.groupBy(entity)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
 
 
 def streaming_session_counts(

@@ -173,3 +173,36 @@ def test_embedding_cosine_pairs_finds_rescaled_copies(spark, sf_dir):
     assert all(r["cos_ppm"] >= 950_000 for r in pairs)
     # no false positives: every surviving pair is an (original, copy) pair
     assert found <= expected
+
+
+def test_streaming_stateful_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running totals must equal the batch groupBy."""
+    import shutil
+
+    from marmot_spark.streaming.stream import streaming_stateful_totals
+
+    ev_dir = tmp_path / "events_state_stream"
+    ev_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "part-0.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = streaming_source(spark, str(ev_dir), batch.schema)
+    q = (
+        streaming_stateful_totals(stream)
+        .writeStream.outputMode("update").format("memory").queryName("state_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # one micro-batch -> latest update per key IS the final total
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
