@@ -245,6 +245,13 @@ def rolling_count(
 
     strategy="range": the naive RANGE frame — fine for sparse windows, kept
     for tiny inputs and as the semantics reference.
+
+    Fast path (unchunked + TimestampType ts): both terms are ADD-ONLY range
+    frames over integer microseconds — cum_le = [unbounded, 0] and cnt_lt =
+    [unbounded, -(W*1e6 + 1)] (strict < via the -1µs on an integer domain) —
+    evaluated in ONE WindowExec sharing one sort: one shuffle, zero probe
+    rows, zero joins. Spark's UnboundedPreceding frames advance their upper
+    pointer monotonically (O(n)), unlike sliding frames which rescan.
     """
     if strategy == "range":
         w = (
@@ -260,6 +267,20 @@ def rolling_count(
 
     tdouble = F.col(ts).cast("double")
     delta_type = "long" if value_col is None else dict(df.dtypes)[value_col]
+
+    if (not n_chunks or n_chunks <= 1) and dict(df.dtypes)[ts].startswith("timestamp"):
+        tus = F.unix_micros(F.col(ts))
+        w_le = Window.partitionBy(entity).orderBy(tus).rangeBetween(Window.unboundedPreceding, 0)
+        w_lt = Window.partitionBy(entity).orderBy(tus).rangeBetween(
+            Window.unboundedPreceding, -(int(window_seconds) * 1_000_000 + 1)
+        )
+        delta = F.lit(1).cast("long") if value_col is None else F.col(value_col)
+        result = F.sum(delta).over(w_le) - F.coalesce(
+            F.sum(delta).over(w_lt), F.lit(0).cast(delta_type)
+        )
+        if value_col is None:
+            result = result.cast("long")
+        return df.withColumn(out_col, result)
 
     if n_chunks and n_chunks > 1:
         # scale path for hot/low-cardinality entities: chunk each entity by
