@@ -97,7 +97,7 @@ def flagship_pipeline(spark, data_dir: str):
     base = asof_join(
         base, labels, on="doc_key", left_ts="seq_ts", right_ts="label_ts",
         payload=["tag_ok", "score"], tie_break="label_seq",
-        hot_keys=[0, 1], n_salts=16,
+        hot_keys=[0, 1], n_salts=16, hot_salt_mode="range",
     )
     return explode_with_context(
         base, k=2, keep=["doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"]

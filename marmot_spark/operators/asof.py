@@ -68,6 +68,21 @@ def detect_hot_keys(df: DataFrame, key: str, threshold: float = 0.05, sample_fra
     return [r[0] for r in rows]
 
 
+def _range_chunk_expr(ts_col, hot_bounds_us: dict, n_salts: int):
+    """Literal-CASE time-range chunk id for hot keys (ts in integer micros)."""
+    cus = F.unix_micros(ts_col)
+    expr = None
+    for key, (mnus, mxus) in hot_bounds_us.items():
+        span = max((mxus - mnus) // n_salts, 1)
+        branch = F.greatest(
+            F.least(F.floor((cus - F.lit(mnus)) / F.lit(span)).cast("int"), F.lit(n_salts - 1)),
+            F.lit(0),
+        )
+        cond = F.col("__rk") == F.lit(key)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return F.coalesce(expr, F.lit(0))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -82,11 +97,26 @@ def asof_join(
     auto_salt: bool = False,
     n_salts: int = 16,
     num_partitions: int | None = None,
+    hot_salt_mode: str = "hash",
 ) -> DataFrame:
     """Left as-of join: left columns + ``payload`` columns from right.
 
     Payload columns are null where no right row with ``right_ts <= left_ts``
     (within tolerance) exists for the key.
+
+    ``hot_salt_mode`` picks how hot keys are parallelized:
+
+    * ``"hash"`` — left rows salt by xxhash64(ts) % n_salts; the hot key's
+      ENTIRE label timeline replicates to every salt. Simple, works for any
+      orderable ts, but pushes O(hot_labels x n_salts) rows into the sort.
+    * ``"range"`` — the sort-merge shape from the north star: left rows salt
+      by TIME-RANGE chunk of [min, max] (bounds from one tiny agg over the
+      hot left rows); labels land only in their own chunk, plus ONE carried
+      label per later chunk boundary — the latest label strictly before the
+      boundary, found by a recursive (tiny, unchunked) as-of lookup — so each
+      chunk carries exactly the state it needs. Replication is O(n_salts)
+      rows per hot key instead of O(labels x n_salts). Requires TimestampType
+      ts and a single join key.
     """
     keys = [on] if isinstance(on, str) else list(on)
     spark = left.sparkSession
@@ -99,8 +129,37 @@ def asof_join(
         if c in left_cols:
             raise ValueError(f"payload column {c!r} collides with a left column")
 
+    carry_rhs = None
     # ---- salt assignment ----------------------------------------------------
-    if hot_keys:
+    if hot_keys and hot_salt_mode == "range":
+        if len(keys) != 1:
+            raise ValueError("hot_salt_mode='range' supports a single join key")
+        if not dict(left.dtypes)[left_ts].startswith("timestamp"):
+            raise ValueError("hot_salt_mode='range' requires TimestampType timestamps")
+        hot = F.col(keys[0]).isin(list(hot_keys))
+        b = (
+            left.filter(hot)
+            .groupBy(F.col(keys[0]).alias("__rk"))
+            .agg(F.min(F.unix_micros(F.col(left_ts))).alias("mn"),
+                 F.max(F.unix_micros(F.col(left_ts))).alias("mx"))
+            .collect()
+        )
+        hot_bounds_us = {r["__rk"]: (r["mn"], r["mx"]) for r in b}
+        l_salt = F.when(
+            hot,
+            _range_chunk_expr(F.col(left_ts), hot_bounds_us, n_salts),
+        ).otherwise(F.lit(0))
+        r_salt_single = F.when(
+            hot, _range_chunk_expr(F.col(right_ts), hot_bounds_us, n_salts)
+        ).otherwise(F.lit(0))
+        # chunk-expr CASE keys off __rk; expose it on both sides
+        left = left.withColumn("__rk", F.col(keys[0]))
+        right = right.withColumn("__rk", F.col(keys[0]))
+        carry_rhs = _boundary_carries(
+            spark, right, keys[0], right_ts, list(payload), tie_break, hot_bounds_us, n_salts
+        )
+        r_salts = None
+    elif hot_keys:
         hot = F.col(keys[0]).isin([k for k in hot_keys])
         l_salt = F.when(hot, F.pmod(F.xxhash64(F.col(left_ts)), F.lit(n_salts)).cast("int")).otherwise(F.lit(0))
         r_salts = F.when(hot, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(F.array(F.lit(0)))
@@ -116,19 +175,31 @@ def asof_join(
         lhs = lhs.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
     lhs = lhs.withColumn(_MATCH_TS, F.lit(None).cast(dict(right.dtypes)[right_ts]))
 
+    rhs = right.select(keys + [right_ts] + list(payload) + ([tie_break] if tie_break else []) + (["__rk"] if carry_rhs is not None else []))
+    if carry_rhs is not None:
+        rhs = rhs.withColumn(_SALT, r_salt_single)
+    else:
+        rhs = rhs.withColumn(_SALT, F.explode(r_salts))
     rhs = (
-        right.select(keys + [right_ts] + list(payload) + ([tie_break] if tie_break else []))
-        .withColumn(_SALT, F.explode(r_salts))
-        .withColumn(_SIDE, F.lit(0))
+        rhs.withColumn(_SIDE, F.lit(0))
         .withColumn(_TS, F.col(right_ts))
         .withColumn(_TIE, tie_r)
         .withColumn(_MATCH_TS, F.col(right_ts))
     )
-    for c in left_cols:
+    left_cols_all = left.columns  # includes __rk in range mode
+    for c in left_cols_all:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    union_cols = left_cols + list(payload) + [_SALT, _SIDE, _TS, _TIE, _MATCH_TS]
+    union_cols = left_cols_all + list(payload) + [_SALT, _SIDE, _TS, _TIE, _MATCH_TS]
     merged = lhs.select(union_cols).unionByName(rhs.select(union_cols))
+    if carry_rhs is not None:
+        for c in union_cols:
+            if c not in carry_rhs.columns:
+                carry_rhs = carry_rhs.withColumn(
+                    c, F.lit(None).cast(dict(merged.dtypes)[c])
+                )
+        merged = merged.unionByName(carry_rhs.select(union_cols))
+        left_cols = [c for c in left_cols if c != "__rk"]
 
     if strategy == "window":
         w = (
@@ -152,6 +223,58 @@ def asof_join(
         out = out.withColumn(_MATCH_TS, F.when(stale, F.lit(None)).otherwise(F.col(_MATCH_TS)))
 
     return out.select(left_cols + list(payload) + [F.col(_MATCH_TS).alias("matched_ts")])
+
+
+def _boundary_carries(
+    spark,
+    right: DataFrame,
+    key: str,
+    right_ts: str,
+    payload: list,
+    tie_break: str | None,
+    hot_bounds_us: dict,
+    n_salts: int,
+) -> DataFrame | None:
+    """One carried label per (hot key, later chunk): the latest right row
+    STRICTLY before the chunk boundary, found by a tiny recursive as-of
+    lookup of the n_salts-1 boundary instants against the hot labels.
+    O(n_salts) carry rows per hot key — vs O(labels x n_salts) under hash
+    salting."""
+    brows = []
+    for k, (mnus, mxus) in hot_bounds_us.items():
+        span = max((mxus - mnus) // n_salts, 1)
+        for c in range(1, n_salts):
+            # integer micros: <= boundary-1us == strictly < boundary
+            brows.append((k, c, mnus + c * span - 1))
+    if not brows:
+        return None
+    key_type = dict(right.dtypes)[key]
+    bdf = spark.createDataFrame(brows, schema=f"`{key}` {key_type}, __carry_salt int, __bus long")
+    rhot = (
+        right.filter(F.col(key).isin(list(hot_bounds_us)))
+        .withColumn("__rus", F.unix_micros(F.col(right_ts)))
+        .withColumn("__ots", F.col(right_ts))
+        .withColumn("__otie", (F.col(tie_break) if tie_break else F.lit(0)).cast("long"))
+        .withColumn("__otie2", (F.col(tie_break) if tie_break else F.lit(0)).cast("long"))
+    )
+    looked = asof_join(
+        bdf, rhot, on=key, left_ts="__bus", right_ts="__rus",
+        payload=["__ots", "__otie2"] + list(payload),
+        tie_break="__otie",
+    )
+    return (
+        looked.filter(F.col("__ots").isNotNull())
+        .select(
+            F.col(key),
+            F.col(key).alias("__rk"),
+            F.col("__carry_salt").alias(_SALT),
+            F.lit(0).alias(_SIDE),
+            F.col("__ots").alias(_TS),
+            F.col("__otie2").alias(_TIE),
+            F.col("__ots").alias(_MATCH_TS),
+            *[F.col(c) for c in payload],
+        )
+    )
 
 
 def _merge_kernel(merged: DataFrame, keys: list[str], payload: Sequence[str], num_partitions: int) -> DataFrame:

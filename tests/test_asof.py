@@ -136,3 +136,35 @@ def test_orphan_keys_get_null(spark, fixture_dir):
     out = asof_join(seqs, only_orphan_labels, "doc_id", "seq_ts", "label_ts",
                     ["tag"], tie_break="label_seq")
     assert out.filter(F.col("tag").isNotNull()).count() == 0
+
+
+def test_range_salting_equals_unsalted(spark, fixture_dir):
+    """Time-range salting with boundary carries must be exactly the unsalted
+    result, for both strategies and with tolerance."""
+    seqs, labels = _load(spark, fixture_dir)
+    hot = ["d00000000", "d00000001"]
+    sel = ["doc_id", "seq_ts", "n_tok", "tag", "score", "matched_ts"]
+
+    base = asof_join(seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                     payload=["tag", "score"], tie_break="label_seq")
+    for strategy in ["window", "merge"]:
+        got = asof_join(seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                        payload=["tag", "score"], tie_break="label_seq",
+                        hot_keys=hot, n_salts=8, hot_salt_mode="range", strategy=strategy)
+        assert got.count() == seqs.count()
+        assert got.select(sel).exceptAll(base.select(sel)).count() == 0, strategy
+        assert base.select(sel).exceptAll(got.select(sel)).count() == 0, strategy
+
+    t_base = asof_join(seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                       payload=["tag", "score"], tie_break="label_seq", tolerance_us=600_000_000)
+    t_rng = asof_join(seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                      payload=["tag", "score"], tie_break="label_seq", tolerance_us=600_000_000,
+                      hot_keys=hot, n_salts=8, hot_salt_mode="range")
+    assert t_rng.select(sel).exceptAll(t_base.select(sel)).count() == 0
+
+
+def test_range_salting_guards(spark, fixture_dir):
+    seqs, labels = _load(spark, fixture_dir)
+    with pytest.raises(ValueError, match="single join key"):
+        asof_join(seqs, labels, on=["doc_id", "source"], left_ts="seq_ts", right_ts="label_ts",
+                  payload=["score"], hot_keys=["d00000000"], hot_salt_mode="range")
