@@ -544,6 +544,42 @@ GROUP BY n.n_name
 """
 
 
+def _q_tpch_semi_anti(spark, sf):
+    """Semi/anti join physical choices: customers with vs without orders."""
+    c = _tbl(spark, sf, "customer")
+    o = _tbl(spark, sf, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_active"))
+        .join(
+            without.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_inactive")),
+            "c_nationkey", "full_outer",
+        )
+        .select(
+            "c_nationkey",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+        )
+    )
+
+
+_SQL_TPCH_SEMI_ANTI = """
+WITH a AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_active FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY c_nationkey
+), i AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_inactive FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT COALESCE(a.c_nationkey, i.c_nationkey) AS c_nationkey,
+  COALESCE(n_active, 0) AS n_active, COALESCE(n_inactive, 0) AS n_inactive
+FROM a FULL OUTER JOIN i ON a.c_nationkey = i.c_nationkey
+"""
+
+
 def _q_w5_window_rank(spark, sf):
     o = _tbl(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("price_c").desc(), F.col("o_orderkey").asc())
@@ -894,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_json_extract": _q_f6_json_extract,
         "tpch_q1": _q_tpch_q1,
         "tpch_join_agg": _q_tpch_join_agg,
+        "tpch_semi_anti": _q_tpch_semi_anti,
         "w5_window_rank": _q_w5_window_rank,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -932,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "f6_json_extract": _SQL_F6,
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_join_agg": _SQL_TPCH_JOIN,
+        "tpch_semi_anti": _SQL_TPCH_SEMI_ANTI,
         "w5_window_rank": _SQL_W5,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
