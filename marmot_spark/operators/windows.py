@@ -217,6 +217,155 @@ def _with_time_chunk(
     return df.withColumn("__chunk", chunk.cast("int"))
 
 
+def _rolling_chunked_frames(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    window_seconds: int,
+    out_col: str,
+    value_col: str | None,
+    n_chunks: int,
+    bounds: dict | None,
+    delta_type: str,
+) -> DataFrame | None:
+    """Chunked rolling counts via in-chunk strict-count frames + boundary probes.
+
+    Per (entity, time-chunk): cum_le and the STRICT below-window count are two
+    add-only RANGE frames on integer micros (one sort); broadcast per-chunk
+    offsets globalize them. Only rows whose probe point t-W falls BEFORE their
+    chunk start (~W/span of rows) emit a probe row into a slim second pass;
+    their results come back via a BROADCAST join. vs the full probe-stream
+    formulation this removes an n-row union window pass and turns the n-row
+    sort-merge join-back into a tiny broadcast — the wide payload (token
+    arrays) is never shuffled a second time.
+
+    Returns None when any entity's window spans >= its chunk span (every row
+    would be a boundary row — the probe-stream path handles that better).
+    """
+    tus = F.unix_micros(F.col(ts))
+    wus = window_seconds * 1_000_000
+    if bounds is None:
+        rows = df.groupBy(entity).agg(F.min(tus).alias("mn"), F.max(tus).alias("mx")).collect()
+        bounds_us = {r[entity]: (r["mn"], r["mx"]) for r in rows}
+    else:
+        bounds_us = {
+            k: (int(round(mn * 1e6)), int(round(mx * 1e6)))
+            for k, (mn, mx) in bounds.items()
+            if mn is not None and mx is not None
+        }
+    if len(bounds_us) > 64:
+        raise ValueError(
+            f"n_chunks chunking is for low-cardinality/hot entities; {entity!r} has "
+            f"{len(bounds_us)} values — a plain per-entity window already parallelizes"
+        )
+    spans = {k: max((mx - mn) // n_chunks, 1) for k, (mn, mx) in bounds_us.items()}
+    if not bounds_us or any(wus >= span for span in spans.values()):
+        return None
+
+    def _case(build, ent_col: str):
+        expr = None
+        for k in bounds_us:
+            cond = F.col(ent_col).isNull() if k is None else (F.col(ent_col) == F.lit(k))
+            expr = F.when(cond, build(k)) if expr is None else expr.when(cond, build(k))
+        return expr
+
+    def chunk_of(cus, ent_col: str):
+        return F.coalesce(
+            _case(
+                lambda k: F.greatest(
+                    F.least(
+                        F.floor((cus - F.lit(bounds_us[k][0])) / F.lit(spans[k])).cast("int"),
+                        F.lit(n_chunks - 1),
+                    ),
+                    F.lit(0),
+                ),
+                ent_col,
+            ),
+            F.lit(0),
+        )
+
+    delta = F.lit(1).cast("long") if value_col is None else F.col(value_col)
+    base = df.withColumn("__chunk", chunk_of(tus, entity))
+
+    # dense offset spine: empty chunks still need correct cumulative offsets
+    totals = base.groupBy(entity, "__chunk").agg(F.sum(delta).alias("__tot"))
+    spine = (
+        df.sparkSession.createDataFrame([(k,) for k in bounds_us], schema=df.select(entity).schema)
+        .select(entity, F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("__chunk"))
+        # entities observed in data but missing from (possibly partial) bounds
+        # clamp into chunk 0 — keep their offset rows so the join drops nothing
+        .unionByName(totals.select(entity, "__chunk"))
+        .distinct()
+    )
+    w_ch = Window.partitionBy(entity).orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        spine.join(totals, [entity, "__chunk"], "left")
+        .select(
+            entity, "__chunk",
+            F.coalesce(
+                F.sum("__tot").over(w_ch), F.lit(0).cast(delta_type)
+            ).alias("__coff"),
+        )
+    )
+
+    w_ord = Window.partitionBy(entity, "__chunk").orderBy(tus)
+    ev = (
+        base.withColumn("__lcum", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__llt", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, -(wus + 1))))
+        .withColumn("__lrn", F.row_number().over(w_ord).cast("long"))
+        .join(F.broadcast(offs), [entity, "__chunk"])
+    )
+
+    start = F.coalesce(
+        _case(lambda k: F.lit(bounds_us[k][0]) + F.col("__chunk").cast("long") * F.lit(spans[k]), entity),
+        F.lit(0).cast("long"),
+    )
+    p = tus - F.lit(wus)
+    is_bnd = p < start
+
+    probes = ev.filter(is_bnd).select(
+        F.col(entity).alias("__ent"), p.alias("__tus"), F.lit(0).alias("__side"),
+        F.col("__chunk").alias("__pchunk"), F.col("__lrn").alias("__prn"),
+        F.lit(None).cast(delta_type).alias("__delta"),
+    )
+    events2 = base.select(
+        F.col(entity).alias("__ent"), tus.alias("__tus"), F.lit(1).alias("__side"),
+        F.lit(None).cast("int").alias("__pchunk"), F.lit(None).cast("long").alias("__prn"),
+        delta.cast(delta_type).alias("__delta"),
+    )
+    merged = events2.unionByName(probes).withColumn("__chunk2", chunk_of(F.col("__tus"), "__ent"))
+    w2 = (
+        Window.partitionBy("__ent", "__chunk2")
+        .orderBy(F.col("__tus").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs2 = offs.select(
+        F.col(entity).alias("__ent"), F.col("__chunk").alias("__chunk2"), F.col("__coff").alias("__coff2")
+    )
+    probe_res = (
+        merged.withColumn("__lc", F.coalesce(F.sum("__delta").over(w2), F.lit(0).cast(delta_type)))
+        .filter(F.col("__side") == 0)
+        .join(F.broadcast(offs2), ["__ent", "__chunk2"])
+        .select("__ent", "__pchunk", "__prn", (F.col("__lc") + F.col("__coff2")).alias("__pcnt"))
+    )
+
+    out = ev.join(
+        F.broadcast(probe_res),
+        (ev[entity] == probe_res["__ent"])
+        & (ev["__chunk"] == probe_res["__pchunk"])
+        & (ev["__lrn"] == probe_res["__prn"]),
+        "left",
+    )
+    cnt_lt = F.coalesce(
+        F.col("__pcnt"),
+        F.col("__coff") + F.coalesce(F.col("__llt"), F.lit(0).cast(delta_type)),
+    )
+    result = (F.col("__lcum") + F.col("__coff")) - cnt_lt
+    if value_col is None:
+        result = result.cast("long")
+    return out.select(*[F.col(c) for c in df.columns], result.alias(out_col))
+
+
 def rolling_count(
     df: DataFrame,
     entity: str,
@@ -267,8 +416,17 @@ def rolling_count(
 
     tdouble = F.col(ts).cast("double")
     delta_type = "long" if value_col is None else dict(df.dtypes)[value_col]
+    ts_is_timestamp = dict(df.dtypes)[ts].startswith("timestamp")
 
-    if (not n_chunks or n_chunks <= 1) and dict(df.dtypes)[ts].startswith("timestamp"):
+    if n_chunks and n_chunks > 1 and ts_is_timestamp:
+        out = _rolling_chunked_frames(
+            df, entity, ts, int(window_seconds), out_col, value_col, n_chunks, bounds, delta_type
+        )
+        if out is not None:
+            return out
+        # fall through to the probe-stream formulation (window >= chunk span)
+
+    if (not n_chunks or n_chunks <= 1) and ts_is_timestamp:
         tus = F.unix_micros(F.col(ts))
         w_le = Window.partitionBy(entity).orderBy(tus).rangeBetween(Window.unboundedPreceding, 0)
         w_lt = Window.partitionBy(entity).orderBy(tus).rangeBetween(
