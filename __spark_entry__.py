@@ -37,6 +37,7 @@ from marmot_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_col,
+    simhash_hamming_pairs,
 )
 from marmot_spark.operators.ngrams import ngram_counts, with_ngram_membership
 from marmot_spark.operators.similarity import (
@@ -647,17 +648,38 @@ def _q_dedup_simhash(spark, sf):
     return d.select("doc_id", simhash_col("tokens", bits=16).alias("simhash"))
 
 
-def _sql_simhash() -> str:
+def _simhash_bits_sql() -> str:
     c0 = MULT % P31
-    bits = " + ".join(
+    return " + ".join(
         f"(CASE WHEN len(list_filter(tokens, t -> ((((CAST(t AS BIGINT)+1)*{c0}) % {P31}) >> {b}) & 1 = 1)) * 2 "
         f"> length(tokens) THEN {1 << b} ELSE 0 END)"
         for b in range(16)
     )
+
+
+def _sql_simhash() -> str:
     return f"""
 WITH {DOCS_T}
-SELECT doc_id, CAST(CASE WHEN length(tokens) > 0 THEN {bits} ELSE 0 END AS BIGINT) AS simhash
+SELECT doc_id, CAST(CASE WHEN length(tokens) > 0 THEN {_simhash_bits_sql()} ELSE 0 END AS BIGINT) AS simhash
 FROM docs_t
+"""
+
+
+def _q_dedup_simhash_hamming(spark, sf):
+    return simhash_hamming_pairs(_docs(spark, sf), "doc_id", "tokens", bits=16, max_hamming=2)
+
+
+def _sql_simhash_hamming() -> str:
+    # banding is an engine-side optimization; semantics are banding-independent,
+    # so the oracle is the naive quadratic hamming filter over the same simhash
+    return f"""
+WITH {DOCS_T},
+s AS (SELECT doc_id, CAST(CASE WHEN length(tokens) > 0 THEN {_simhash_bits_sql()} ELSE 0 END AS BIGINT) AS simhash
+      FROM docs_t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
 
 
@@ -935,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_hamming": _q_dedup_simhash_hamming,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -974,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_simhash": _sql_simhash(),
+        "dedup_simhash_hamming": _sql_simhash_hamming(),
         "dedup_ngram_jaccard": _SQL_JACCARD,
         "text_quality": _SQL_QUALITY,
         "text_lang_id": _sql_lang_id(),

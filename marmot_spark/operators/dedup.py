@@ -161,6 +161,48 @@ def simhash_col(tokens_col: str, bits: int = 16) -> Column:
     return F.when(n > 0, out).otherwise(F.lit(0).cast("long"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the fingerprint into (max_hamming+1) bands —
+    any pair within Hamming d must agree EXACTLY on at least one band, so the
+    band self-join finds every qualifying pair without an O(n^2) cross join;
+    candidates then verify with an exact popcount. Output is banding-
+    independent (pure semantics: ALL pairs with hamming <= max_hamming), so
+    the SQL oracle can be the naive quadratic filter.
+    """
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil
+    mask = (1 << width) - 1
+    s = df.select(F.col(id_col).alias("id"), simhash_col(tokens_col, bits).alias("sh"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        for i in range(n_bands)
+    ])
+    bands = s.select("id", "sh", F.explode(band_structs).alias("b")).select(
+        "id", "sh", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bv")
+    b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bv")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several bands
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

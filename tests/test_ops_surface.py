@@ -238,3 +238,27 @@ def test_pipeline_compiler_equals_direct_ops(spark, fixture_dir):
     assert sorted(got.columns) == sorted(want.columns)
     assert got.select(sel).exceptAll(want.select(sel)).count() == 0
     assert want.select(sel).exceptAll(got.select(sel)).count() == 0
+
+
+def test_simhash_hamming_banding_complete(spark, sf_dir):
+    """Pigeonhole banding must find EXACTLY the naive quadratic pair set."""
+    from marmot_spark.operators.dedup import simhash_col, simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "tokens", F.transform(F.split("text", " "), lambda x: F.length(x).cast("int"))
+    ).limit(120)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(docs, "doc_id", "tokens", bits=16, max_hamming=2).collect()
+    }
+    s = docs.select(F.col("doc_id").alias("id"), simhash_col("tokens", 16).alias("sh"))
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    naive = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("h"))
+        .filter(F.col("h") <= 2)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
