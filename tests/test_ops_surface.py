@@ -262,3 +262,46 @@ def test_simhash_hamming_banding_complete(spark, sf_dir):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_operators_on_empty_and_degenerate_inputs(spark):
+    """Empty frames and degenerate docs must flow through, not crash."""
+    from pyspark.sql import types as T
+
+    from marmot_spark.operators.dedup import minhash_lsh_pairs, simhash_col
+    from marmot_spark.operators.windows import (
+        entity_time_bounds,
+        explode_with_context,
+        rolling_count,
+        sessionize,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq_ts", T.TimestampType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("source", T.StringType()),
+    ])
+    empty = spark.createDataFrame([], schema=schema)
+    assert explode_with_context(empty, k=2, keep=["doc_id"]).count() == 0
+    assert sessionize(empty, "source", "seq_ts", 60.0).count() == 0
+    assert rolling_count(empty, "source", "seq_ts", 3600, "rn").count() == 0
+    assert entity_time_bounds(empty, "source", "seq_ts") == {}
+    assert minhash_lsh_pairs(empty, "doc_id", "tokens").count() == 0
+
+    from datetime import datetime
+
+    one = spark.createDataFrame(
+        [("d0", datetime(2026, 1, 1), [], "web"),        # empty tokens
+         ("d1", datetime(2026, 1, 1), [7], "web")],      # single token
+        schema=schema,
+    )
+    ex = explode_with_context(one, k=2, keep=["doc_id"]).collect()
+    assert len(ex) == 1  # empty doc contributes no rows
+    r = ex[0]
+    assert (r["tok"], r["lag_1"], r["lead_1"], r["lag_2"], r["lead_2"]) == (7, -1, -2, -1, -2)
+    assert simhash_col("tokens", 16) is not None
+    s = sessionize(one, "source", "seq_ts", 60.0, order_extra=["doc_id"]).collect()
+    assert sorted(x["session_id"] for x in s) == [1, 1]  # same ts -> one session
+    rc = rolling_count(one, "source", "seq_ts", 3600, "rn").collect()
+    assert sorted(x["rn"] for x in rc) == [2, 2]  # RANGE peers share the frame
