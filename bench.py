@@ -35,6 +35,7 @@ from marmot_spark.operators.windows import (
     explode_with_context,
     rolling_count,
     sessionize,
+    with_time_chunk,
 )
 from marmot_spark.session import build_session
 
@@ -86,8 +87,14 @@ def flagship_pipeline(spark, data_dir: str):
     # collected ONCE from the raw scan and shared — each chunked operator
     # collecting its own bounds would re-execute the upstream plan.
     bounds = entity_time_bounds(seqs, "source_key", "seq_ts")
-    base = rolling_count(seqs, "source_key", "seq_ts", 7200, "rolling_docs", n_chunks=16, bounds=bounds)
-    base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"], n_chunks=16, bounds=bounds)
+    # one chunk column shared by both chunked operators: sessionize partitions
+    # by the same (entity, __tchunk) as rolling's window, so its exchange is
+    # elided — the wide token arrays shuffle once for both operators
+    base = with_time_chunk(seqs, "source_key", "seq_ts", 16, bounds=bounds)
+    base = rolling_count(base, "source_key", "seq_ts", 7200, "rolling_docs",
+                         n_chunks=16, bounds=bounds, chunk_col="__tchunk")
+    base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"],
+                      n_chunks=16, bounds=bounds, chunk_col="__tchunk").drop("__tchunk")
     # narrow the per-feature-row payload before the 95x explode: session ids
     # and 2h rolling counts fit int32 by construction (sessions per source are
     # bounded by timeline seconds / gap), and every byte here is paid 57M times

@@ -105,6 +105,7 @@ def sessionize(
     order_extra: list[str] | None = None,
     n_chunks: int | None = None,
     bounds: dict | None = None,
+    chunk_col: str | None = None,
 ) -> DataFrame:
     """Gap-based session ids per entity (1-based, in event order).
 
@@ -122,7 +123,7 @@ def sessionize(
     #entities * n_chunks.
     """
     tdouble = F.col(ts).cast("double")
-    if not n_chunks or n_chunks <= 1:
+    if (not n_chunks or n_chunks <= 1) and chunk_col is None:
         order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
         w = Window.partitionBy(entity).orderBy(*order)
         gap = tdouble - F.lag(tdouble, 1).over(w)
@@ -132,16 +133,21 @@ def sessionize(
             F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
         )
 
-    chunked = _with_time_chunk(df, entity, tdouble, n_chunks, bounds=bounds)
+    if chunk_col is not None:
+        # pre-chunked input (with_time_chunk): partition by the EXISTING column
+        # so this operator rides the upstream exchange instead of re-shuffling
+        chunked, ch = df, chunk_col
+    else:
+        chunked, ch = _with_time_chunk(df, entity, tdouble, n_chunks, bounds=bounds), "__chunk"
     order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
-    w_loc = Window.partitionBy(entity, "__chunk").orderBy(*order)
+    w_loc = Window.partitionBy(entity, ch).orderBy(*order)
     gap = tdouble - F.lag(tdouble, 1).over(w_loc)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     local = chunked.withColumn(
         "__lsess", F.sum(new_sess).over(w_loc.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
     )
 
-    summ = local.groupBy(entity, "__chunk").agg(
+    summ = local.groupBy(entity, F.col(ch).alias("__chunk")).agg(
         F.min(tdouble).alias("__first_t"),
         F.max(tdouble).alias("__last_t"),
         F.max("__lsess").alias("__nsess"),
@@ -160,9 +166,78 @@ def sessionize(
         - F.sum("__merge").over(w_chunks.rowsBetween(Window.unboundedPreceding, 0)),
     ).select(entity, "__chunk", "__offset")
 
-    out = local.join(F.broadcast(summ), [entity, "__chunk"])
-    return out.withColumn(session_col, (F.col("__lsess") + F.col("__offset")).cast("long")).drop(
-        "__chunk", "__lsess", "__offset"
+    out = local.join(
+        F.broadcast(summ.withColumnRenamed("__chunk", ch) if ch != "__chunk" else summ),
+        [entity, ch],
+    )
+    out = out.withColumn(session_col, (F.col("__lsess") + F.col("__offset")).cast("long")).drop(
+        "__lsess", "__offset"
+    )
+    # internal chunk col is dropped; a caller-provided chunk_col stays
+    return out.drop("__chunk") if chunk_col is None else out
+
+
+def _bounds_us(bounds: dict) -> dict:
+    """Seconds-domain bounds dict -> integer-micros dict (single rounding rule
+    shared by every consumer so chunk ids and chunk starts always agree)."""
+    return {
+        k: (int(round(mn * 1e6)), int(round(mx * 1e6)))
+        for k, (mn, mx) in bounds.items()
+        if mn is not None and mx is not None
+    }
+
+
+def _spans_us(bounds_us: dict, n_chunks: int) -> dict:
+    return {k: max((mx - mn) // n_chunks, 1) for k, (mn, mx) in bounds_us.items()}
+
+
+def _case_over_entities(build, bounds_us: dict, ent_col: str):
+    expr = None
+    for k in bounds_us:
+        cond = F.col(ent_col).isNull() if k is None else (F.col(ent_col) == F.lit(k))
+        expr = F.when(cond, build(k)) if expr is None else expr.when(cond, build(k))
+    return expr
+
+
+def _chunk_of_expr(cus, bounds_us: dict, spans: dict, n_chunks: int, ent_col: str):
+    return F.coalesce(
+        _case_over_entities(
+            lambda k: F.greatest(
+                F.least(
+                    F.floor((cus - F.lit(bounds_us[k][0])) / F.lit(spans[k])).cast("int"),
+                    F.lit(n_chunks - 1),
+                ),
+                F.lit(0),
+            ),
+            bounds_us,
+            ent_col,
+        ),
+        F.lit(0),
+    )
+
+
+def with_time_chunk(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    n_chunks: int,
+    bounds: dict | None = None,
+    chunk_col: str = "__tchunk",
+) -> DataFrame:
+    """Add a per-entity time-range chunk column for SHARING one shuffle across
+    chunked operators: `rolling_count(..., chunk_col=...)` then
+    `sessionize(..., chunk_col=...)` both partition by (entity, chunk_col), so
+    the second operator reuses the first's exchange instead of re-shuffling
+    the wide payload. Requires TimestampType ``ts``.
+    """
+    if not dict(df.dtypes)[ts].startswith("timestamp"):
+        raise ValueError("with_time_chunk requires a TimestampType ts column")
+    if bounds is None:
+        bounds = entity_time_bounds(df, entity, ts)
+    bus = _bounds_us(bounds)
+    spans = _spans_us(bus, n_chunks)
+    return df.withColumn(
+        chunk_col, _chunk_of_expr(F.unix_micros(F.col(ts)), bus, spans, n_chunks, entity)
     )
 
 
@@ -227,6 +302,7 @@ def _rolling_chunked_frames(
     n_chunks: int,
     bounds: dict | None,
     delta_type: str,
+    chunk_col: str | None = None,
 ) -> DataFrame | None:
     """Chunked rolling counts via in-chunk strict-count frames + boundary probes.
 
@@ -248,47 +324,29 @@ def _rolling_chunked_frames(
         rows = df.groupBy(entity).agg(F.min(tus).alias("mn"), F.max(tus).alias("mx")).collect()
         bounds_us = {r[entity]: (r["mn"], r["mx"]) for r in rows}
     else:
-        bounds_us = {
-            k: (int(round(mn * 1e6)), int(round(mx * 1e6)))
-            for k, (mn, mx) in bounds.items()
-            if mn is not None and mx is not None
-        }
+        bounds_us = _bounds_us(bounds)
     if len(bounds_us) > 64:
         raise ValueError(
             f"n_chunks chunking is for low-cardinality/hot entities; {entity!r} has "
             f"{len(bounds_us)} values — a plain per-entity window already parallelizes"
         )
-    spans = {k: max((mx - mn) // n_chunks, 1) for k, (mn, mx) in bounds_us.items()}
+    spans = _spans_us(bounds_us, n_chunks)
     if not bounds_us or any(wus >= span for span in spans.values()):
         return None
 
-    def _case(build, ent_col: str):
-        expr = None
-        for k in bounds_us:
-            cond = F.col(ent_col).isNull() if k is None else (F.col(ent_col) == F.lit(k))
-            expr = F.when(cond, build(k)) if expr is None else expr.when(cond, build(k))
-        return expr
-
     def chunk_of(cus, ent_col: str):
-        return F.coalesce(
-            _case(
-                lambda k: F.greatest(
-                    F.least(
-                        F.floor((cus - F.lit(bounds_us[k][0])) / F.lit(spans[k])).cast("int"),
-                        F.lit(n_chunks - 1),
-                    ),
-                    F.lit(0),
-                ),
-                ent_col,
-            ),
-            F.lit(0),
-        )
+        return _chunk_of_expr(cus, bounds_us, spans, n_chunks, ent_col)
 
     delta = F.lit(1).cast("long") if value_col is None else F.col(value_col)
-    base = df.withColumn("__chunk", chunk_of(tus, entity))
+    if chunk_col is not None:
+        # pre-chunked input (with_time_chunk, same bounds/n_chunks): ride the
+        # existing column so the exchange is shared with sibling operators
+        base, ch = df, chunk_col
+    else:
+        base, ch = df.withColumn("__chunk", chunk_of(tus, entity)), "__chunk"
 
     # dense offset spine: empty chunks still need correct cumulative offsets
-    totals = base.groupBy(entity, "__chunk").agg(F.sum(delta).alias("__tot"))
+    totals = base.groupBy(entity, F.col(ch).alias("__chunk")).agg(F.sum(delta).alias("__tot"))
     spine = (
         df.sparkSession.createDataFrame([(k,) for k in bounds_us], schema=df.select(entity).schema)
         .select(entity, F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("__chunk"))
@@ -308,16 +366,19 @@ def _rolling_chunked_frames(
         )
     )
 
-    w_ord = Window.partitionBy(entity, "__chunk").orderBy(tus)
+    w_ord = Window.partitionBy(entity, ch).orderBy(tus)
     ev = (
         base.withColumn("__lcum", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, 0)))
         .withColumn("__llt", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, -(wus + 1))))
         .withColumn("__lrn", F.row_number().over(w_ord).cast("long"))
-        .join(F.broadcast(offs), [entity, "__chunk"])
+        .join(F.broadcast(offs.withColumnRenamed("__chunk", ch) if ch != "__chunk" else offs), [entity, ch])
     )
 
     start = F.coalesce(
-        _case(lambda k: F.lit(bounds_us[k][0]) + F.col("__chunk").cast("long") * F.lit(spans[k]), entity),
+        _case_over_entities(
+            lambda k: F.lit(bounds_us[k][0]) + F.col(ch).cast("long") * F.lit(spans[k]),
+            bounds_us, entity,
+        ),
         F.lit(0).cast("long"),
     )
     p = tus - F.lit(wus)
@@ -325,7 +386,7 @@ def _rolling_chunked_frames(
 
     probes = ev.filter(is_bnd).select(
         F.col(entity).alias("__ent"), p.alias("__tus"), F.lit(0).alias("__side"),
-        F.col("__chunk").alias("__pchunk"), F.col("__lrn").alias("__prn"),
+        F.col(ch).alias("__pchunk"), F.col("__lrn").alias("__prn"),
         F.lit(None).cast(delta_type).alias("__delta"),
     )
     events2 = base.select(
@@ -352,7 +413,7 @@ def _rolling_chunked_frames(
     out = ev.join(
         F.broadcast(probe_res),
         (ev[entity] == probe_res["__ent"])
-        & (ev["__chunk"] == probe_res["__pchunk"])
+        & (ev[ch] == probe_res["__pchunk"])
         & (ev["__lrn"] == probe_res["__prn"]),
         "left",
     )
@@ -376,6 +437,7 @@ def rolling_count(
     strategy: str = "difference",
     n_chunks: int | None = None,
     bounds: dict | None = None,
+    chunk_col: str | None = None,
 ) -> DataFrame:
     """Event-time rolling count (or sum of value_col) over the trailing window.
 
@@ -420,7 +482,8 @@ def rolling_count(
 
     if n_chunks and n_chunks > 1 and ts_is_timestamp:
         out = _rolling_chunked_frames(
-            df, entity, ts, int(window_seconds), out_col, value_col, n_chunks, bounds, delta_type
+            df, entity, ts, int(window_seconds), out_col, value_col, n_chunks, bounds,
+            delta_type, chunk_col=chunk_col,
         )
         if out is not None:
             return out

@@ -171,3 +171,27 @@ def test_chunked_sessionize_and_rolling_match_serial(spark, fixture_dir):
 
     with _pytest.raises(ValueError, match="low-cardinality"):
         sessionize(seqs, "doc_id", "seq_ts", 60.0, n_chunks=4).collect()
+
+
+def test_shared_chunk_col_matches_serial(spark, fixture_dir):
+    """rolling+sessionize over one shared with_time_chunk column == serial."""
+    from marmot_spark.operators.windows import (
+        entity_time_bounds,
+        rolling_count,
+        sessionize,
+        with_time_chunk,
+    )
+
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet").select(
+        "doc_id", "seq_ts", "n_tok", "source"
+    )
+    bounds = entity_time_bounds(seqs, "source", "seq_ts")
+    shared = with_time_chunk(seqs, "source", "seq_ts", 5, bounds=bounds)
+    a = rolling_count(shared, "source", "seq_ts", 3600, "rn", n_chunks=5, bounds=bounds, chunk_col="__tchunk")
+    a = sessionize(a, "source", "seq_ts", 60.0, order_extra=["doc_id", "n_tok"],
+                   n_chunks=5, bounds=bounds, chunk_col="__tchunk").drop("__tchunk")
+    b = rolling_count(seqs, "source", "seq_ts", 3600, "rn")
+    b = sessionize(b, "source", "seq_ts", 60.0, order_extra=["doc_id", "n_tok"])
+    sel = ["doc_id", "seq_ts", "n_tok", "source", "rn", "session_id"]
+    assert a.select(sel).exceptAll(b.select(sel)).count() == 0
+    assert b.select(sel).exceptAll(a.select(sel)).count() == 0
