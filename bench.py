@@ -31,7 +31,6 @@ import __spark_entry__ as entrymod
 from marmot_spark.fixtures import write_fixture_dir
 from marmot_spark.operators.asof import asof_join
 from marmot_spark.operators.windows import (
-    entity_time_bounds,
     explode_with_context,
     rolling_count,
     sessionize,
@@ -61,6 +60,17 @@ def flagship_pipeline(spark, data_dir: str):
     so every shuffle/sort/explode moves fixed-width integers, not UTF8. The
     per-feature-row payload is ~60B instead of ~120B — directly halves the
     memory/shuffle traffic the 57M-row explode pays.
+
+    Shuffle topology: the wide ``tokens`` arrays (~85% of scan bytes) NEVER
+    enter a shuffle. Every sequence-level feature (rolling count, session id,
+    as-of label) is a pure function of (doc_key, seq_ts, source_key) — RANGE
+    frames give equal-ts rows equal counts, sessionize merges gap-0 rows, the
+    as-of match depends only on (key, ts) — so features are computed on a
+    NARROW projection (tiny exchanges), deduped on those keys, and equi-joined
+    back to the token-bearing scan. At this SF AQE turns that join into a
+    broadcast; on a 10^12-row cluster it is a shuffle-hash join moving the
+    narrow side into the wide side's layout — or a storage-partitioned join
+    with zero wide-side shuffle when the Iceberg table is bucketed by doc_key.
     """
     src_code = (
         F.when(F.col("source") == "web", 0).when(F.col("source") == "news", 1)
@@ -83,14 +93,30 @@ def flagship_pipeline(spark, data_dir: str):
     # source has 4 values with a 55%-hot key: chunked scans keep the
     # per-entity ordered passes parallel (4 entities x 16 chunks = 64 tasks).
     # rolling_count first: its probe-join references its input 3x, so feed it
-    # the cheap scan rather than the sessionize output. Chunk bounds are
-    # collected ONCE from the raw scan and shared — each chunked operator
-    # collecting its own bounds would re-execute the upstream plan.
-    bounds = entity_time_bounds(seqs, "source_key", "seq_ts")
+    # the cheap scan rather than the sessionize output. ALL plan-time bounds
+    # (per-source chunk bounds + per-hot-doc as-of salt ranges) come from ONE
+    # collect over the raw scan — each operator collecting its own would
+    # re-execute the whole upstream plan at plan-build time.
+    hot_docs = [0, 1]
+    narrow = seqs.select("doc_key", "seq_ts", "source_key")
+    ts_d = F.col("seq_ts").cast("double")
+    brows = (
+        narrow.groupBy(F.lit(0).alias("__g"), F.col("source_key").cast("long").alias("__k"))
+        .agg(F.min(ts_d).alias("mn"), F.max(ts_d).alias("mx"))
+        .unionByName(
+            seqs.filter(F.col("doc_key").isin(hot_docs))
+            .groupBy(F.lit(1).alias("__g"), F.col("doc_key").alias("__k"))
+            .agg(F.min(F.unix_micros("seq_ts").cast("double")).alias("mn"),
+                 F.max(F.unix_micros("seq_ts").cast("double")).alias("mx"))
+        )
+        .collect()
+    )
+    bounds = {int(r["__k"]): (r["mn"], r["mx"]) for r in brows if r["__g"] == 0}
+    hot_bounds_us = {int(r["__k"]): (int(r["mn"]), int(r["mx"])) for r in brows if r["__g"] == 1}
     # one chunk column shared by both chunked operators: sessionize partitions
     # by the same (entity, __tchunk) as rolling's window, so its exchange is
-    # elided — the wide token arrays shuffle once for both operators
-    base = with_time_chunk(seqs, "source_key", "seq_ts", 16, bounds=bounds)
+    # elided — the narrow feature frame shuffles once for both operators
+    base = with_time_chunk(narrow, "source_key", "seq_ts", 16, bounds=bounds)
     base = rolling_count(base, "source_key", "seq_ts", 7200, "rolling_docs",
                          n_chunks=16, bounds=bounds, chunk_col="__tchunk")
     base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"],
@@ -104,10 +130,20 @@ def flagship_pipeline(spark, data_dir: str):
     base = asof_join(
         base, labels, on="doc_key", left_ts="seq_ts", right_ts="label_ts",
         payload=["tag_ok", "score"], tie_break="label_seq",
-        hot_keys=[0, 1], n_salts=16, hot_salt_mode="range",
+        hot_keys=hot_docs, n_salts=16, hot_salt_mode="range",
+        hot_bounds_us=hot_bounds_us,
     )
+    # every feature above is a function of these three keys (equal-ts rows get
+    # equal RANGE counts / session ids; the as-of match is per (key, ts)), so
+    # duplicate (doc, ts, source) rows carry identical values: dedupe, then
+    # join the features back onto the token-bearing scan — the wide arrays
+    # never shuffle, and row multiplicity is restored exactly
+    feats = base.select(
+        "doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"
+    ).dropDuplicates(["doc_key", "seq_ts", "source_key"])
+    wide = seqs.join(feats, ["doc_key", "seq_ts", "source_key"])
     return explode_with_context(
-        base, k=2, keep=["doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"]
+        wide, k=2, keep=["doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"]
     )
 
 

@@ -98,6 +98,7 @@ def asof_join(
     n_salts: int = 16,
     num_partitions: int | None = None,
     hot_salt_mode: str = "hash",
+    hot_bounds_us: dict | None = None,
 ) -> DataFrame:
     """Left as-of join: left columns + ``payload`` columns from right.
 
@@ -111,7 +112,12 @@ def asof_join(
       orderable ts, but pushes O(hot_labels x n_salts) rows into the sort.
     * ``"range"`` — the sort-merge shape from the north star: left rows salt
       by TIME-RANGE chunk of [min, max] (bounds from one tiny agg over the
-      hot left rows); labels land only in their own chunk, plus ONE carried
+      hot left rows — or passed in via ``hot_bounds_us``, a
+      ``{key: (min_us, max_us)}`` dict computed on the CHEAPEST equivalent
+      frame, e.g. the raw scan: collecting bounds from a derived ``left``
+      re-executes the whole upstream plan at plan-build time, and chunk
+      balance — never correctness — is all the bounds affect); labels land
+      only in their own chunk, plus ONE carried
       label per later chunk boundary — the latest label strictly before the
       boundary, found by a recursive (tiny, unchunked) as-of lookup — so each
       chunk carries exactly the state it needs. Replication is O(n_salts)
@@ -137,14 +143,20 @@ def asof_join(
         if not dict(left.dtypes)[left_ts].startswith("timestamp"):
             raise ValueError("hot_salt_mode='range' requires TimestampType timestamps")
         hot = F.col(keys[0]).isin(list(hot_keys))
-        b = (
-            left.filter(hot)
-            .groupBy(F.col(keys[0]).alias("__rk"))
-            .agg(F.min(F.unix_micros(F.col(left_ts))).alias("mn"),
-                 F.max(F.unix_micros(F.col(left_ts))).alias("mx"))
-            .collect()
-        )
-        hot_bounds_us = {r["__rk"]: (r["mn"], r["mx"]) for r in b}
+        if hot_bounds_us is None:
+            b = (
+                left.filter(hot)
+                .groupBy(F.col(keys[0]).alias("__rk"))
+                .agg(F.min(F.unix_micros(F.col(left_ts))).alias("mn"),
+                     F.max(F.unix_micros(F.col(left_ts))).alias("mx"))
+                .collect()
+            )
+            hot_bounds_us = {r["__rk"]: (r["mn"], r["mx"]) for r in b}
+        else:
+            hot_bounds_us = {
+                k: v for k, v in hot_bounds_us.items()
+                if k in set(hot_keys) and v[0] is not None and v[1] is not None
+            }
         l_salt = F.when(
             hot,
             _range_chunk_expr(F.col(left_ts), hot_bounds_us, n_salts),

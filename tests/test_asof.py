@@ -163,6 +163,32 @@ def test_range_salting_equals_unsalted(spark, fixture_dir):
     assert t_rng.select(sel).exceptAll(t_base.select(sel)).count() == 0
 
 
+def test_range_salting_external_bounds(spark, fixture_dir):
+    """Precomputed hot_bounds_us (from a cheap scan, not the derived left plan)
+    must give the exact unsalted result — even with deliberately LOOSE bounds,
+    since bounds affect chunk balance, never correctness."""
+    seqs, labels = _load(spark, fixture_dir)
+    hot = ["d00000000", "d00000001"]
+    sel = ["doc_id", "seq_ts", "n_tok", "tag", "score", "matched_ts"]
+    base = asof_join(seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                     payload=["tag", "score"], tie_break="label_seq")
+    rows = (
+        seqs.filter(F.col("doc_id").isin(hot))
+        .groupBy("doc_id")
+        .agg(F.min(F.unix_micros("seq_ts")).alias("mn"), F.max(F.unix_micros("seq_ts")).alias("mx"))
+        .collect()
+    )
+    exact = {r["doc_id"]: (r["mn"], r["mx"]) for r in rows}
+    loose = {k: (mn - 86_400_000_000, mx + 86_400_000_000) for k, (mn, mx) in exact.items()}
+    for hb in (exact, loose):
+        got = asof_join(seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                        payload=["tag", "score"], tie_break="label_seq",
+                        hot_keys=hot, n_salts=8, hot_salt_mode="range", hot_bounds_us=hb)
+        assert got.count() == seqs.count()
+        assert got.select(sel).exceptAll(base.select(sel)).count() == 0
+        assert base.select(sel).exceptAll(got.select(sel)).count() == 0
+
+
 def test_range_salting_guards(spark, fixture_dir):
     seqs, labels = _load(spark, fixture_dir)
     with pytest.raises(ValueError, match="single join key"):
