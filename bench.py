@@ -13,6 +13,9 @@ reads identical bytes. Headline driver-table queries run via the same
 
 Timing uses the "noop" sink (full computation, no disk skew); the flagship
 additionally does a real parquet write (sink cost included in flagship_sink).
+Both flagship timings follow the scaling protocol (BASELINE.md): one untimed
+warmup pass first, so one-time JVM/codegen startup — which amortizes to ~0 at
+design scale — is excluded from steady-state numbers.
 """
 
 from __future__ import annotations
@@ -209,6 +212,11 @@ def main():
     else:
         out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "flagship_out")
         shutil.rmtree(out_dir, ignore_errors=True)
+        # one untimed warmup pass (same protocol as BENCH/run_scaling.py): the
+        # first flagship execution pays one-time JVM/codegen compilation that
+        # amortizes to ~0 at the 10^12-row design scale — steady-state cost is
+        # the honest sink quantity
+        flagship_pipeline(spark, data_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         flagship_pipeline(spark, data_dir).write.mode("overwrite").parquet(out_dir)
         results["flagship_sink"] = time.time() - t0
