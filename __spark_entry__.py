@@ -915,6 +915,73 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def _q_flagship_composed(spark, sf):
+    """The flagship DAG with a FULL DuckDB oracle (entry() is only
+    smoke-checked): sessionize-by-source + 2h rolling doc counts + as-of
+    error backfill + per-token ±1 context windows composed in one plan.
+    Timestamps stay naive-UTC on both sides (make_timestamp in the oracle)
+    so the comparison is timezone-independent."""
+    docs = _docs(spark, sf).withColumn(
+        "seq_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 600)
+    ).withColumn("user_id", F.col("doc_id") % 20)
+    base = sessionize(docs, "source", "seq_ts", 3600.0, order_extra=["doc_id"])
+    base = rolling_count(base, "source", "seq_ts", 7200, "rolling_docs")
+    base = asof_join(
+        base, _errors(spark, sf), on="user_id", left_ts="seq_ts", right_ts="err_ts",
+        payload=["err_value_c"], tie_break="err_event_id",
+    )
+    ex = explode_with_context(
+        base, k=1, keep=["doc_id", "source", "seq_ts", "session_id", "rolling_docs", "err_value_c"]
+    )
+    return ex.select(
+        "doc_id", "pos", "tok",
+        F.col("lag_1").cast("int").alias("lag_1"),
+        F.col("lead_1").cast("int").alias("lead_1"),
+        "session_id", "rolling_docs", "err_value_c",
+        F.unix_micros("seq_ts").alias("ts_us"),
+    )
+
+
+_SQL_FLAGSHIP = f"""
+WITH {DOCS_T},
+d AS (
+  SELECT doc_id, source, tokens,
+    make_timestamp((1704067200 + doc_id * 600) * 1000000) AS seq_ts,
+    doc_id % 20 AS user_id
+  FROM docs_t
+),
+g AS (
+  SELECT *, epoch_us(seq_ts) - lag(epoch_us(seq_ts))
+    OVER (PARTITION BY source ORDER BY seq_ts, doc_id) AS gap_us
+  FROM d
+),
+sess AS (
+  SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY source ORDER BY seq_ts, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+),
+roll AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY source ORDER BY seq_ts
+    RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_docs
+  FROM sess
+),
+err AS (
+  SELECT user_id, ts AS err_ts, {_CENTS_SQL.format(c='value')} AS err_value_c
+  FROM events WHERE event_type = 'error'
+),
+a AS (
+  SELECT r.doc_id, r.tokens, r.seq_ts, r.session_id, r.rolling_docs, l.err_value_c
+  FROM roll r ASOF LEFT JOIN err l
+    ON r.user_id = l.user_id AND l.err_ts <= r.seq_ts
+)
+SELECT doc_id, CAST(u.p AS INT) AS pos, tokens[CAST(u.p AS INT)+1] AS tok,
+  CAST(COALESCE(CASE WHEN CAST(u.p AS INT) >= 1 THEN tokens[CAST(u.p AS INT)] END, -1) AS INT) AS lag_1,
+  CAST(COALESCE(tokens[CAST(u.p AS INT)+2], -2) AS INT) AS lead_1,
+  session_id, rolling_docs, err_value_c, epoch_us(seq_ts) AS ts_us
+FROM a, UNNEST(range(length(tokens))) AS u(p)
+"""
+
+
 def _q_multimodal_meta(spark, sf):
     d = _tbl(spark, sf, "documents")
     return d.select(
@@ -968,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "multimodal_meta": _q_multimodal_meta,
+        "flagship_composed": _q_flagship_composed,
     }
 
 
@@ -1008,4 +1076,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _sql_ann_ivf(),
         "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
         "multimodal_meta": _SQL_MULTIMODAL,
+        "flagship_composed": _SQL_FLAGSHIP,
     }
