@@ -22,6 +22,11 @@ the lineage + metrics record the north rule asks for.
 Design note: buckets, not Spark task partitions, are the checkpoint unit —
 task counts change with AQE/cluster size, while pmod(hash(key)) bucketing is
 stable across runs and cluster shapes.
+
+Scale note: align buckets with STORAGE — store the snapshot partitioned by a
+bucket column (Iceberg ``bucket(n, key)`` transform) and pass ``bucket_col=``
+to ``run()`` so every per-bucket job partition-prunes its scan; the N bucket
+jobs then read each input byte once in total instead of N full scans.
 """
 
 from __future__ import annotations
@@ -70,14 +75,28 @@ class CheckpointedJob:
         transform: Callable[[DataFrame], DataFrame],
         bucket_key: str,
         fail_after: int | None = None,
+        bucket_col: str | None = None,
     ) -> list[int]:
         """Process all pending buckets; returns the buckets committed this call.
 
         ``fail_after`` aborts after N buckets (test hook for kill/resume).
+
+        ``bucket_col``: name of an EXISTING column that already holds the
+        bucket id (values 0..n_buckets-1). This is the 100 TB path: when the
+        input table is stored partitioned by that column (Iceberg
+        ``bucket(n, key)`` partition transform, or parquet
+        ``partitionBy(bucket_col)``), the per-bucket equality filter
+        partition-prunes at the scan, so the N per-bucket jobs together read
+        each input byte ONCE. Without it the computed-hash filter cannot
+        prune and every bucket job rescans the full input (fine for small
+        snapshots, quadratic-ish waste at scale).
         """
-        bucketed = source.withColumn(
-            "__bucket", F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(self.n_buckets)).cast("int")
-        )
+        if bucket_col is not None:
+            bucketed = source.withColumnRenamed(bucket_col, "__bucket")
+        else:
+            bucketed = source.withColumn(
+                "__bucket", F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(self.n_buckets)).cast("int")
+            )
         committed = []
         for i, b in enumerate(self.pending_buckets()):
             if fail_after is not None and i >= fail_after:

@@ -53,6 +53,33 @@ def test_checkpoint_resume_idempotent(spark, fixture_dir, tmp_path):
     assert all(m["wall_ms"] >= 0 and "checksum" in m for m in ms)
 
 
+def test_checkpoint_prebucketed_prunes(spark, fixture_dir, tmp_path):
+    """bucket_col on a storage-partitioned source: the per-bucket filter must
+    reach the scan as a partition filter (each input byte read once across
+    all bucket jobs — the 100 TB path), and results must equal the hash path."""
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet")
+    n_b = 4
+    src_dir = str(tmp_path / "bucketed_src")
+    seqs.withColumn(
+        "bkt", F.pmod(F.xxhash64("doc_id"), F.lit(n_b)).cast("int")
+    ).write.partitionBy("bkt").parquet(src_dir)
+    bucketed = spark.read.parquet(src_dir)
+
+    # pruning evidence: an equality filter on the partition column appears as
+    # PartitionFilters in the scan, not a post-scan Filter over all files
+    plan = bucketed.filter(F.col("bkt") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bkt" in plan.split("PartitionFilters:")[1][:80]
+
+    transform = lambda df: df.withColumn("n2", F.col("n_tok") * 2)  # noqa: E731
+    job = CheckpointedJob(str(tmp_path), "pre", snapshot_id=1, n_buckets=n_b)
+    done = job.run(bucketed, transform, bucket_key="doc_id", bucket_col="bkt")
+    assert len(done) == n_b
+    out = job.read_output(spark)
+    direct = transform(seqs)
+    assert out.count() == seqs.count()
+    assert out.select(direct.columns).exceptAll(direct).count() == 0
+
+
 def test_tableio_snapshots(spark, fixture_dir, tmp_path):
     tio = TableIO(spark, str(tmp_path))
     seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet").limit(100)
