@@ -998,6 +998,39 @@ FROM documents
 """
 
 
+def _q_multimodal_features(spark, sf):
+    """End-to-end media plumbing through the mapInPandas extractor: documents
+    text wrapped as opaque binary + typed meta, features via the deterministic
+    fake decoder (stride-4 byte means — real codecs are stubbed per SURVEY)."""
+    from marmot_spark.operators.multimodal import attach_media, extract_media_features, fake_decoder
+
+    d = _tbl(spark, sf, "documents")
+    media = attach_media(d, "text", "image", "doc_id")
+    return extract_media_features(media, decoder=fake_decoder)
+
+
+# fake_decoder mirror. Valid because the synthetic corpus is pure ASCII
+# (verified: octet_length(encode(text)) == length(text) for every row), so
+# DuckDB's character-based ord(substr(...)) equals the UTF-8 byte Spark sees.
+_SQL_MULTIMODAL_FEATS = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, 'image' AS media_type,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    CASE WHEN length(text) = 0 THEN [CAST(0.0 AS DOUBLE)]
+    ELSE list_transform(range(least(4, length(text))), r ->
+      CAST(list_sum(list_transform(range((length(text) - CAST(r AS INT) + 3) // 4),
+        j -> ord(substr(text, CAST(r AS INT) + 1 + CAST(j AS INT) * 4, 1)))) AS DOUBLE)
+      / ((length(text) - CAST(r AS INT) + 3) // 4))
+    END AS feats
+  FROM documents
+)
+SELECT id, media_type, n_bytes,
+  list_sum(feats) / len(feats) AS feat_mean,
+  CAST(len(feats) AS INT) AS feat_dim
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -1036,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "multimodal_meta": _q_multimodal_meta,
         "flagship_composed": _q_flagship_composed,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -1077,4 +1111,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
         "multimodal_meta": _SQL_MULTIMODAL,
         "flagship_composed": _SQL_FLAGSHIP,
+        "multimodal_features": _SQL_MULTIMODAL_FEATS,
     }
