@@ -1031,6 +1031,62 @@ FROM f
 """
 
 
+def _q_streaming_sessionize(spark, sf):
+    """Structured Streaming session_window through a real streaming query:
+    readStream(parquet) -> withWatermark + session_window agg -> memory sink,
+    availableNow drain, then the finished batch result is compared to a SQL
+    oracle. Watermark is set beyond the data horizon so no row is late (late
+    -data semantics are covered by batch-tolerance tests); sums are integer
+    cents so the comparison is reduction-order-independent."""
+    from marmot_spark.streaming.stream import streaming_session_counts, streaming_source
+
+    schema = _events(spark, sf).schema
+    src = streaming_source(spark, f"{sf}/events.parquet", schema).withColumn(
+        "value_c", _cents("value")
+    )
+    sessions = streaming_session_counts(
+        src, ts="ts", entity="user_id", gap="30 minutes", watermark="3650 days",
+        value_col="value_c",
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName("stream_sess_q")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_sess_q").select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.col("sum_value").alias("sum_value_c"),
+    )
+
+
+# session_window semantics: an event at exactly prev_ts + gap does NOT overlap
+# [prev_ts, prev_ts + gap) and starts a NEW session -> new-session condition is
+# gap_us >= 30min; session_end = last event + gap
+_SQL_STREAM_SESS = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, {_CENTS_SQL.format(c='value')} AS value_c,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, epoch_us(min(ts)) AS start_us,
+  epoch_us(max(ts)) + 1800000000 AS end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(value_c) AS BIGINT) AS sum_value_c
+FROM s GROUP BY user_id, sid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -1070,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "flagship_composed": _q_flagship_composed,
         "multimodal_features": _q_multimodal_features,
+        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 
@@ -1112,4 +1169,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_MULTIMODAL,
         "flagship_composed": _SQL_FLAGSHIP,
         "multimodal_features": _SQL_MULTIMODAL_FEATS,
+        "streaming_sessionize": _SQL_STREAM_SESS,
     }

@@ -22,6 +22,23 @@ from pyspark.sql.types import StructType
 
 
 def streaming_source(spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet") -> DataFrame:
+    """File-backed stream. The file source monitors DIRECTORIES; a single-file
+    path is exposed through a per-file symlink directory (partition discovery
+    rejects bare files even with basePath set)."""
+    import hashlib
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"stream_src_{hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]}",
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(path), link)
+        path = d
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
@@ -66,12 +83,18 @@ def streaming_session_counts(
     entity: str = "user_id",
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    value_col: str = "value",
 ) -> DataFrame:
-    """Per-entity session aggregation with late-data watermark."""
+    """Per-entity session aggregation with late-data watermark.
+
+    Pass an integer ``value_col`` (e.g. cents) when the output must be
+    order-independent and exactly comparable to a SQL oracle — float sums
+    depend on reduction order.
+    """
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap), F.col(entity))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
         .select(
             F.col(entity),
             F.col("session_window.start").alias("session_start"),
