@@ -144,7 +144,11 @@ def flagship_pipeline(spark, data_dir: str):
     feats = base.select(
         "doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"
     ).dropDuplicates(["doc_key", "seq_ts", "source_key"])
-    wide = seqs.join(feats, ["doc_key", "seq_ts", "source_key"])
+    # explicit broadcast of the NARROW side: size statistics would otherwise
+    # let Spark broadcast the token-bearing scan (its compressed parquet
+    # footprint understates the in-memory array width), moving the wide rows
+    # through an exchange — exactly what this topology exists to avoid
+    wide = seqs.join(F.broadcast(feats), ["doc_key", "seq_ts", "source_key"])
     return explode_with_context(
         wide, k=2, keep=["doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"]
     )

@@ -94,6 +94,25 @@ def test_flagship_shuffle_budget(spark):
     assert "Exchange" not in head, "no shuffle may sit above the explode"
 
 
+def test_flagship_tokens_never_shuffle(spark):
+    """The round's key shuffle-topology claim: the wide ``tokens`` arrays
+    (~85% of scan bytes) appear in NO exchange — shuffle or broadcast.
+    Features are computed on a narrow projection and joined back, so only
+    narrow frames ever move."""
+    import re
+
+    import bench
+
+    plan = plan_of(bench.flagship_pipeline(spark, bench._bench_data()), "formatted")
+    # formatted detail: "(n) <NodeName>" header, then attribute lines
+    # (Input/Output/Arguments) until the next header — scan Exchange nodes
+    nodes = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [n for n in nodes if re.match(r"\(\d+\) (Broadcast)?Exchange", n)]
+    assert exchanges, "expected at least one exchange in the flagship plan"
+    for node in exchanges:
+        assert "tokens#" not in node, f"tokens crossed an exchange:\n{node[:400]}"
+
+
 def test_window_features_in_codegen(spark, sf_dir):
     """W1 context features (shift/zip/explode) run inside whole-stage codegen —
     no Python workers, no row-at-a-time eval in the hot path."""
