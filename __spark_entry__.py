@@ -581,6 +581,78 @@ FROM a FULL OUTER JOIN i ON a.c_nationkey = i.c_nationkey
 """
 
 
+def _q_tpch_q3_shipping(spark, sf):
+    """TPC-H Q3 shape: 3-way join + filtered agg + top-10 — join-order and
+    top-k evidence over the driver tables. Revenue in exact cents^2 units."""
+    c = _tbl(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _tbl(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _tbl(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    li = li.withColumn("price_c", _cents("l_extendedprice")).withColumn(
+        "disc_pct", F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).alias("revenue_c2"))
+        .orderBy(F.desc("revenue_c2"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority", "revenue_c2",
+        )
+    )
+
+
+_SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
+  CAST(sum({_CENTS_SQL.format(c='l_extendedprice')} *
+       (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c2
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c2 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q_tpch_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: group-HAVING derived set driving a semi-join back into
+    the fact tables — large-quantity orders with their customers."""
+    li = _tbl(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _tbl(spark, sf, "orders")
+    c = _tbl(spark, sf, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            _cents("o_totalprice").alias("price_c"), "sum_qty",
+        )
+    )
+
+
+_SQL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+)
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+  {_CENTS_SQL.format(c='o_totalprice')} AS price_c, sum_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _q_w5_window_rank(spark, sf):
     o = _tbl(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("price_c").desc(), F.col("o_orderkey").asc())
@@ -1109,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_join_agg": _q_tpch_join_agg,
         "tpch_semi_anti": _q_tpch_semi_anti,
+        "tpch_q3_shipping": _q_tpch_q3_shipping,
+        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
         "w5_window_rank": _q_w5_window_rank,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1152,6 +1226,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_join_agg": _SQL_TPCH_JOIN,
         "tpch_semi_anti": _SQL_TPCH_SEMI_ANTI,
+        "tpch_q3_shipping": _SQL_TPCH_Q3,
+        "tpch_q18_large_orders": _SQL_TPCH_Q18,
         "w5_window_rank": _SQL_W5,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
