@@ -81,18 +81,33 @@ DOCS_E = (
 )
 
 
+def _no_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Source-boundary timestamp normalization (the round-1 driver gate's one
+    failure class): the driver's parquet stores naive timestamps, which a
+    default Spark 4 session reads as TIMESTAMP_NTZ — rejected by unix_micros,
+    event-time windows, and withWatermark. Pin the session to UTC (so the
+    cast is the identity wall-clock->instant mapping, matching DuckDB's
+    epoch_us of the same naive value) and cast every NTZ column to TIMESTAMP.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    return _no_ntz(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
         "tokens", F.transform(F.split("text", " "), _tok_id)
     )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _no_ntz(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _no_ntz(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _cents(c) -> F.Column:

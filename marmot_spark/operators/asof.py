@@ -43,12 +43,16 @@ changes). Non-hot keys use salt=0 and are not replicated.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from marmot_spark.operators.windows import ntz_to_ts
 
 _SIDE = "__asof_side"
 _SALT = "__asof_salt"
@@ -125,6 +129,13 @@ def asof_join(
       ts and a single join key.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # parquet naive timestamps arrive as TIMESTAMP_NTZ under a default Spark 4
+    # session; normalize so micros math / interval comparisons resolve
+    left = ntz_to_ts(left, left_ts)
+    right = ntz_to_ts(right, right_ts)
+    # a right row with NULL ts can never satisfy right_ts <= left_ts (SQL
+    # comparison semantics; DuckDB ASOF agrees) — drop before the merge
+    right = right.filter(F.col(right_ts).isNotNull())
     spark = left.sparkSession
     if auto_salt and hot_keys is None:
         hot_keys = detect_hot_keys(left, keys[0])
@@ -153,10 +164,20 @@ def asof_join(
             )
             hot_bounds_us = {r["__rk"]: (r["mn"], r["mx"]) for r in b}
         else:
-            hot_bounds_us = {
+            usable = {
                 k: v for k, v in hot_bounds_us.items()
                 if k in set(hot_keys) and v[0] is not None and v[1] is not None
             }
+            missing = [k for k in hot_keys if k not in usable]
+            if missing:
+                # correctness is bounds-independent, but these keys silently
+                # fall back to one chunk — surface the degraded parallelism
+                warnings.warn(
+                    f"asof_join hot_keys {missing} have no usable entry in "
+                    "hot_bounds_us; they will not be range-salted (single chunk)",
+                    stacklevel=2,
+                )
+            hot_bounds_us = usable
         l_salt = F.when(
             hot,
             _range_chunk_expr(F.col(left_ts), hot_bounds_us, n_salts),
@@ -219,10 +240,20 @@ def asof_join(
             .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        out = merged
-        for c in list(payload) + [_MATCH_TS]:
-            out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        # pack (payload..., match_ts) into ONE struct that is non-null exactly
+        # on right rows: last(ignorenulls) then returns the matched ROW's
+        # values — a genuine NULL payload inside the newest match stays NULL
+        # (per-column last() would skip it and leak an older value). One
+        # window expression instead of len(payload)+1 is also cheaper.
+        fill = list(payload) + [_MATCH_TS]
+        pack = F.when(
+            F.col(_SIDE) == 0, F.struct(*[F.col(c).alias(c) for c in fill])
+        )
+        out = merged.withColumn("__asof_pack", F.last(pack, ignorenulls=True).over(w))
         out = out.filter(F.col(_SIDE) == 1)
+        for c in fill:
+            out = out.withColumn(c, F.col("__asof_pack").getField(c))
+        out = out.drop("__asof_pack")
     elif strategy == "merge":
         out = _merge_kernel(merged, keys, payload, num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")))
     else:
@@ -299,24 +330,41 @@ def _merge_kernel(merged: DataFrame, keys: list[str], payload: Sequence[str], nu
     schema = part.schema
 
     def ffill_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Forward-fill by ROW POINTER, not per-column ffill: the pointer of the
+        # last right row (side=0) within the group is filled forward, then all
+        # fill columns gather from that row — so a newest match whose payload
+        # is genuinely NULL delivers NULL instead of leaking an older value.
         carry_key: tuple | None = None
-        carry_vals: dict | None = None
+        carry_vals: dict | None = None  # last match's row values, or None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             first_key = tuple(pdf.iloc[0][grp_cols])
             prepended = False
-            if carry_key is not None and first_key == carry_key:
+            if carry_key is not None and first_key == carry_key and carry_vals is not None:
                 synth = pdf.iloc[[0]].copy()
                 for c, v in carry_vals.items():
                     synth[c] = v
+                synth[_SIDE] = 0  # acts as the carried-in match row
                 pdf = pd.concat([synth, pdf], ignore_index=True)
                 prepended = True
-            g = pdf.groupby(grp_cols, sort=False, dropna=False)[fill_cols]
-            pdf[fill_cols] = g.ffill()
-            last_key = tuple(pdf.iloc[-1][grp_cols])
-            carry_key = last_key
-            carry_vals = {c: pdf.iloc[-1][c] for c in fill_cols}
+            n = len(pdf)
+            ptr = pd.Series(
+                np.where(pdf[_SIDE].to_numpy() == 0, np.arange(n, dtype="float64"), np.nan)
+            )
+            ptr = ptr.groupby([pdf[c].reset_index(drop=True) for c in grp_cols],
+                              sort=False, dropna=False).ffill()
+            has_match = ptr.notna().to_numpy()
+            src = np.where(has_match, ptr.to_numpy(), 0).astype("int64")
+            pdf = pdf.reset_index(drop=True)
+            for c in fill_cols:
+                gathered = pdf[c].take(src).reset_index(drop=True)
+                pdf[c] = gathered.where(has_match)
+            if bool(has_match[-1]):
+                carry_vals = {c: pdf.iloc[-1][c] for c in fill_cols}
+            else:
+                carry_vals = None
+            carry_key = tuple(pdf.iloc[-1][grp_cols])
             if prepended:
                 pdf = pdf.iloc[1:]
             yield pdf[pdf[_SIDE] == 1]

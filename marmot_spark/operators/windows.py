@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from marmot_spark import END_ID, START_ID
 
 
+def ntz_to_ts(df: DataFrame, ts: str) -> DataFrame:
+    """Normalize a TIMESTAMP_NTZ column to TIMESTAMP at the operator boundary.
+
+    Parquet written with naive (non-UTC-adjusted) timestamps reads back as
+    TIMESTAMP_NTZ under a default Spark 4 session, which ``unix_micros``,
+    ``cast(double)``, range frames on micros, and ``withWatermark`` all
+    reject. The cast interprets the wall-clock value in the session timezone;
+    under UTC (the engine's convention) it is a semantic no-op. Gap/window
+    math only uses differences, so any fixed-offset zone is also exact — only
+    a DST-shifting session zone could perturb results, which is why
+    ``build_session`` pins UTC.
+    """
+    if dict(df.dtypes)[ts] == "timestamp_ntz":
+        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df
+
+
 def explode_tokens(df: DataFrame, tokens_col: str = "tokens", keep: list[str] | None = None) -> DataFrame:
     """Per-token exploded view: one row per (doc, pos). Narrow — no shuffle.
 
@@ -35,6 +52,9 @@ def explode_tokens(df: DataFrame, tokens_col: str = "tokens", keep: list[str] | 
     plus the full sentence array carried along for array-side features.
     """
     keep = keep if keep is not None else [c for c in df.columns if c != tokens_col]
+    # the array is always projected explicitly; a caller-supplied keep that
+    # also names it would otherwise produce an ambiguous duplicate column
+    keep = [c for c in keep if c != tokens_col]
     return df.select(*keep, tokens_col, F.posexplode(tokens_col).alias("pos", "tok"))
 
 
@@ -89,6 +109,9 @@ def explode_with_context(
     downstream shuffle. Narrow plan: zero shuffles.
     """
     keep = keep if keep is not None else [c for c in df.columns if c != tokens_col]
+    # the array is consumed in place and projected away; keep must not re-name
+    # it or the final select would hit an ambiguous duplicate column
+    keep = [c for c in keep if c != tokens_col]
     ex = df.select(*keep, tokens_col, F.posexplode(tokens_col).alias("pos", "tok"))
     ctx = []
     for i in range(1, k + 1):
@@ -123,6 +146,7 @@ def sessionize(
     backwards. Exactly equal to the serial result; parallelism becomes
     #entities * n_chunks.
     """
+    df = ntz_to_ts(df, ts)
     tdouble = F.col(ts).cast("double")
     if (not n_chunks or n_chunks <= 1) and chunk_col is None:
         order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
@@ -231,6 +255,7 @@ def with_time_chunk(
     the second operator reuses the first's exchange instead of re-shuffling
     the wide payload. Requires TimestampType ``ts``.
     """
+    df = ntz_to_ts(df, ts)
     if not dict(df.dtypes)[ts].startswith("timestamp"):
         raise ValueError("with_time_chunk requires a TimestampType ts column")
     if bounds is None:
@@ -251,6 +276,7 @@ def entity_time_bounds(df: DataFrame, entity: str, ts: str) -> dict:
     change it. Without precomputed bounds each chunked operator collects its
     own, which re-executes the whole upstream plan at plan-build time.
     """
+    df = ntz_to_ts(df, ts)
     tdouble = F.col(ts).cast("double")
     rows = df.groupBy(entity).agg(F.min(tdouble).alias("mn"), F.max(tdouble).alias("mx")).collect()
     return {r[entity]: (r["mn"], r["mx"]) for r in rows}
@@ -465,6 +491,7 @@ def rolling_count(
     rows, zero joins. Spark's UnboundedPreceding frames advance their upper
     pointer monotonically (O(n)), unlike sliding frames which rescan.
     """
+    df = ntz_to_ts(df, ts)
     if strategy == "range":
         w = (
             Window.partitionBy(entity)

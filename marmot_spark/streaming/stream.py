@@ -30,14 +30,27 @@ def streaming_source(spark: SparkSession, path: str, schema: StructType, fmt: st
     import tempfile
 
     if os.path.isfile(path):
+        target = os.path.abspath(path)
         d = os.path.join(
             tempfile.gettempdir(),
-            f"stream_src_{hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]}",
+            f"stream_src_{os.getuid()}_{hashlib.sha1(target.encode()).hexdigest()[:12]}",
         )
-        os.makedirs(d, exist_ok=True)
+        os.makedirs(d, mode=0o700, exist_ok=True)
         link = os.path.join(d, os.path.basename(path))
+        # verify an existing entry actually points at the requested file (a
+        # stale/foreign regular file or wrong link must not be silently read),
+        # and tolerate the islink-check/symlink race
+        if os.path.islink(link):
+            if os.readlink(link) != target:
+                os.unlink(link)
+        elif os.path.exists(link):
+            os.unlink(link)
         if not os.path.islink(link):
-            os.symlink(os.path.abspath(path), link)
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                if os.readlink(link) != target:
+                    raise
         path = d
     return spark.readStream.format(fmt).schema(schema).load(path)
 
@@ -91,6 +104,10 @@ def streaming_session_counts(
     order-independent and exactly comparable to a SQL oracle — float sums
     depend on reduction order.
     """
+    # withWatermark rejects TIMESTAMP_NTZ (parquet naive timestamps under a
+    # default session); normalize like the batch operators do
+    if dict(events.dtypes)[ts] == "timestamp_ntz":
+        events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap), F.col(entity))

@@ -1,7 +1,15 @@
 """Driver-mimic: run each __spark_entry__.queries() entry vs its oracle_sql()
 in DuckDB at a given sf dir and compare row count + order-insensitive values.
 
-Usage: python tests/driver_check.py [sf_dir] [only_query ...]
+Usage: python tests/driver_check.py [sf_dir] [--vanilla] [--spark-only] [only_query ...]
+
+--vanilla: use a bare ``SparkSession.builder.getOrCreate()`` with NO engine
+configs — the exact session shape the driver harness uses. Round 1's only
+failure class (TIMESTAMP_NTZ) was invisible to the mimic because it ran under
+``build_session`` (which disables NTZ inference); the vanilla mode exists so
+that can never happen again.
+--spark-only: execute every query but skip the DuckDB comparison (fast smoke
+of the analysis/runtime failure class).
 """
 
 from __future__ import annotations
@@ -48,17 +56,29 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    spark_only = "--spark-only" in args
+    args = [a for a in args if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from marmot_spark.session import build_session
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
-    spark = build_session("driver_check", master="local[8]", shuffle_partitions=8)
+    if vanilla:
+        # driver-identical session: defaults only (NTZ inference ON, 200
+        # shuffle partitions, JVM-default timezone)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("driver_check_vanilla").getOrCreate()
+    else:
+        from marmot_spark.session import build_session
+
+        spark = build_session("driver_check", master="local[8]", shuffle_partitions=8)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -71,8 +91,9 @@ def main():
             print(f"{name:28s} SPARK-ERROR {str(e).splitlines()[0][:160]}")
             failures.append(name)
             continue
-        if name not in oracles:
-            print(f"{name:28s} rows={len(got)} (no oracle — rows-only)")
+        if spark_only or name not in oracles:
+            note = "spark-only" if spark_only else "no oracle — rows-only"
+            print(f"{name:28s} rows={len(got)} ({note})  ({time.time()-t0:.1f}s)")
             continue
         try:
             want = con.sql(oracles[name]).df()

@@ -102,6 +102,61 @@ def test_adversarial_one_microsecond(spark):
         assert row["tag"] == "OK", strategy
 
 
+def test_null_payload_in_matched_row_stays_null(spark):
+    """The matched (newest) right row has a NULL payload between two non-null
+    rows: DuckDB ASOF returns the matched row's NULL — per-column
+    last(ignorenulls) would leak the OLDER value. Also checks that a LATER
+    non-null row is still ignored (no leakage) and that matched_ts is the
+    null-payload row's ts."""
+    seqs = spark.createDataFrame(
+        [("d1", datetime(2026, 1, 1, 0, 0, 10, 0))], "doc_id string, seq_ts timestamp"
+    )
+    labels = spark.createDataFrame(
+        [
+            ("d1", datetime(2026, 1, 1, 0, 0, 8, 0), 0, "OLD", 0.5),
+            ("d1", datetime(2026, 1, 1, 0, 0, 9, 0), 1, None, None),
+            ("d1", datetime(2026, 1, 1, 0, 0, 11, 0), 2, "FUTURE", 0.9),
+        ],
+        "doc_id string, label_ts timestamp, label_seq long, tag string, score double",
+    )
+    for strategy in ["window", "merge"]:
+        row = asof_join(seqs, labels, "doc_id", "seq_ts", "label_ts", ["tag", "score"],
+                        tie_break="label_seq", strategy=strategy).collect()[0]
+        assert row["tag"] is None, strategy
+        assert row["score"] is None, strategy
+        assert row["matched_ts"] == datetime(2026, 1, 1, 0, 0, 9, 0), strategy
+
+
+def test_null_right_ts_never_matches(spark):
+    seqs = spark.createDataFrame(
+        [("d1", datetime(2026, 1, 1, 0, 0, 10, 0))], "doc_id string, seq_ts timestamp"
+    )
+    labels = spark.createDataFrame(
+        [("d1", None, 0, "NULLTS", 0.5)],
+        "doc_id string, label_ts timestamp, label_seq long, tag string, score double",
+    )
+    for strategy in ["window", "merge"]:
+        row = asof_join(seqs, labels, "doc_id", "seq_ts", "label_ts", ["tag"],
+                        tie_break="label_seq", strategy=strategy).collect()[0]
+        assert row["tag"] is None and row["matched_ts"] is None, strategy
+
+
+def test_ntz_timestamps_accepted(spark):
+    """TIMESTAMP_NTZ inputs (default-session parquet reads) are normalized at
+    the operator boundary instead of failing analysis."""
+    seqs = spark.createDataFrame(
+        [("d1", datetime(2026, 1, 1, 0, 0, 10, 0))], "doc_id string, seq_ts timestamp_ntz"
+    )
+    labels = spark.createDataFrame(
+        [("d1", datetime(2026, 1, 1, 0, 0, 9, 0), 0, "OK", 0.5)],
+        "doc_id string, label_ts timestamp_ntz, label_seq long, tag string, score double",
+    )
+    for strategy in ["window", "merge"]:
+        row = asof_join(seqs, labels, "doc_id", "seq_ts", "label_ts", ["tag"],
+                        tie_break="label_seq", strategy=strategy).collect()[0]
+        assert row["tag"] == "OK", strategy
+
+
 def test_tie_break_largest_label_seq_wins(spark):
     ts = datetime(2026, 1, 1, 0, 0, 10, 0)
     seqs = spark.createDataFrame([("d1", ts)], "doc_id string, seq_ts timestamp")
