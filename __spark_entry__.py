@@ -30,7 +30,11 @@ from marmot_spark.functions.text import (
     quality_cols,
     token_count_cols,
 )
-from marmot_spark.operators.alignment import join_alignments, with_aligned_token
+from marmot_spark.operators.alignment import (
+    join_alignments,
+    with_aligned_token,
+    with_pseudo_ref_membership,
+)
 from marmot_spark.operators.asof import asof_join
 from marmot_spark.operators.dedup import (
     exact_dedup,
@@ -322,6 +326,25 @@ SELECT e.doc_id, e.pos, e.tok,
             WHEN e.pos >= 1 THEN COALESCE(b.tokens[e.pos], -1) ELSE -1 END AS INT) AS aligned_lag_1,
   CAST(CASE WHEN b.doc_id IS NULL THEN {UNALIGNED_ID}
             ELSE COALESCE(b.tokens[e.pos+2], -2) END AS INT) AS aligned_lead_1
+FROM docs_e e LEFT JOIN docs_t b ON b.doc_id = e.doc_id + 1
+"""
+
+
+def _q_j4_pseudo_ref(spark, sf):
+    """J4: per-token membership in the doc's pseudo-reference (the doc_id+1
+    document stands in as the other system's output, like J1's source)."""
+    docs = _docs(spark, sf)
+    refs = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("tokens").alias("ref_tokens"))
+    ex = explode_tokens(docs, keep=["doc_id"])
+    out = with_pseudo_ref_membership(ex, refs)
+    return out.select("doc_id", "pos", "tok", "in_pseudo_ref")
+
+
+_SQL_J4 = f"""
+WITH {DOCS_T}, {DOCS_E}
+SELECT e.doc_id, e.pos, e.tok,
+  CAST(CASE WHEN b.doc_id IS NOT NULL AND list_contains(b.tokens, e.tok)
+       THEN 1 ELSE 0 END AS INT) AS in_pseudo_ref
 FROM docs_e e LEFT JOIN docs_t b ON b.doc_id = e.doc_id + 1
 """
 
@@ -1135,11 +1158,18 @@ def _q_streaming_sessionize(spark, sf):
         src, ts="ts", entity="user_id", gap="30 minutes", watermark="3650 days",
         value_col="value_c",
     )
-    q = (
-        sessions.writeStream.format("memory").queryName("stream_sess_q")
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    # stateful micro-batches pay per-task overhead x shuffle partitions; scope
+    # a sane parallelism for the drain, then restore the session's setting
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            sessions.writeStream.format("memory").queryName("stream_sess_q")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("stream_sess_q").select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
@@ -1174,6 +1204,106 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _q_streaming_late_data(spark, sf):
+    """Streaming late-data DROP, end to end: three micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered) — (A) all events of day 10+ except
+    the newest, (B) the newest event(s), (C) the first 10 days, arriving LAST
+    and therefore ~15 days below the watermark. Append mode emits only
+    watermark-finalized sessions.
+
+    Calibrated drop semantics (pinned by metrics, not assumed): Spark's
+    session-window late filter uses the state store's eviction frontier,
+    which lags the planned watermark by one batch — so batch C's rows are
+    dropped against wm(after A) = max(A) - delay; they sit far below it AND
+    below the final planned watermark, so they are dropped under either
+    mechanism. Result: sessions over A∪B only, finalized at
+    wm_final = max(all) - delay; every session built from C's rows is absent
+    even though its end precedes wm_final — the observable proof of the drop.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    ev_pd = pd.read_parquet(f"{sf}/events.parquet")
+    cutoff = ev_pd["ts"].min() + pd.Timedelta(days=10)
+    mx = ev_pd["ts"].max()
+    d = os.path.join(
+        tempfile.gettempdir(), f"stream_late_{os.getuid()}_{abs(hash(sf)) % 10**8}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    a = ev_pd[(ev_pd["ts"] >= cutoff) & (ev_pd["ts"] < mx)]
+    b = ev_pd[ev_pd["ts"] == mx]
+    c = ev_pd[ev_pd["ts"] < cutoff]
+    for i, (name, part) in enumerate([("a_bulk", a), ("b_head", b), ("c_late", c)]):
+        p = os.path.join(d, f"{name}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    from marmot_spark.streaming.stream import streaming_session_counts
+
+    schema = _events(spark, sf).schema
+    src = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(d)
+        .withColumn("value_c", _cents("value"))
+    )
+    sessions = streaming_session_counts(
+        src, ts="ts", entity="user_id", gap="30 minutes", watermark="5 days",
+        value_col="value_c",
+    )
+    # scope stateful-drain parallelism (see streaming_sessionize)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            sessions.writeStream.format("memory").queryName("stream_late_q")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_late_q").select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.col("sum_value").alias("sum_value_c"),
+    )
+
+
+# late rows (first 10 days) are dropped -> sessions over day-10+ rows only;
+# append mode emits sessions with end <= final watermark (max ts - 5 days)
+_SQL_STREAM_LATE = f"""
+WITH bounds AS (SELECT min(ts) + INTERVAL 10 DAY AS cutoff, max(ts) AS m FROM events),
+kept AS (SELECT * FROM events WHERE ts >= (SELECT cutoff FROM bounds)),
+g AS (
+  SELECT user_id, event_id, ts, {_CENTS_SQL.format(c='value')} AS value_c,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM kept
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, epoch_us(min(ts)) AS start_us,
+    epoch_us(max(ts)) + 1800000000 AS end_us,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(value_c) AS BIGINT) AS sum_value_c
+  FROM s GROUP BY user_id, sid
+)
+SELECT * FROM sess
+WHERE end_us <= (SELECT epoch_us(m) FROM bounds) - 432000000000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -1183,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_asof_backfill": _q_j2_asof_backfill,
         "j2_asof_tolerance": _q_j2_asof_tolerance,
         "j1_alignment_join": _q_j1_alignment_join,
+        "j4_pseudo_ref": _q_j4_pseudo_ref,
         "j3_ngram_membership": _q_j3_ngram_membership,
         "w3_longest_ngram": _q_w3_longest_ngram,
         "a1_length_stats": _q_a1_length_stats,
@@ -1216,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_composed": _q_flagship_composed,
         "multimodal_features": _q_multimodal_features,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_late_data": _q_streaming_late_data,
     }
 
 
@@ -1228,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "j2_asof_backfill": _SQL_J2,
         "j2_asof_tolerance": _SQL_J2_TOL,
         "j1_alignment_join": _SQL_J1,
+        "j4_pseudo_ref": _SQL_J4,
         "j3_ngram_membership": _SQL_J3,
         "w3_longest_ngram": _SQL_W3,
         "a1_length_stats": _SQL_A1,
@@ -1261,4 +1394,5 @@ def oracle_sql() -> dict[str, str]:
         "flagship_composed": _SQL_FLAGSHIP,
         "multimodal_features": _SQL_MULTIMODAL_FEATS,
         "streaming_sessionize": _SQL_STREAM_SESS,
+        "streaming_late_data": _SQL_STREAM_LATE,
     }

@@ -55,7 +55,7 @@ def _bench_data() -> str:
     return d
 
 
-def flagship_pipeline(spark, data_dir: str):
+def flagship_pipeline(spark, data_dir: str, broadcast_max_rows: int = 5_000_000):
     """As-of backfill + sessionize + rolling count + per-token context windows.
 
     Hot-path hygiene for 100 TB: strings are dictionary-encoded to ints at
@@ -144,11 +144,23 @@ def flagship_pipeline(spark, data_dir: str):
     feats = base.select(
         "doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"
     ).dropDuplicates(["doc_key", "seq_ts", "source_key"])
-    # explicit broadcast of the NARROW side: size statistics would otherwise
-    # let Spark broadcast the token-bearing scan (its compressed parquet
-    # footprint understates the in-memory array width), moving the wide rows
-    # through an exchange — exactly what this topology exists to avoid
-    wide = seqs.join(F.broadcast(feats), ["doc_key", "seq_ts", "source_key"])
+    # join-back strategy is CONDITIONAL on the narrow side's size. feats has
+    # at most one row per sequence, so the (metadata-only) scan row count is
+    # an exact upper bound; at ~48B/row, 5M rows ~= 240MB — the broadcast
+    # ceiling. Under it, force-broadcast the NARROW side (size statistics
+    # would otherwise let Spark broadcast the token-bearing scan, whose
+    # compressed parquet footprint understates the in-memory array width).
+    # Over it, a driver broadcast is an OOM scale-killer: use a shuffle-hash
+    # join (narrow side builds the hash table; no sort of the wide rows) —
+    # the sandbox stand-in for the cluster plan, a storage-partitioned join
+    # with ZERO wide-side shuffle when the Iceberg table is bucketed by
+    # doc_key.
+    join_keys = ["doc_key", "seq_ts", "source_key"]
+    n_seqs = spark.read.parquet(f"{data_dir}/sequences.parquet").count()
+    if n_seqs <= broadcast_max_rows:
+        wide = seqs.join(F.broadcast(feats), join_keys)
+    else:
+        wide = seqs.join(feats.hint("shuffle_hash"), join_keys)
     return explode_with_context(
         wide, k=2, keep=["doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"]
     )

@@ -36,7 +36,7 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -76,6 +76,7 @@ class CheckpointedJob:
         bucket_key: str,
         fail_after: int | None = None,
         bucket_col: str | None = None,
+        verify_readback: bool = False,
     ) -> list[int]:
         """Process all pending buckets; returns the buckets committed this call.
 
@@ -90,8 +91,30 @@ class CheckpointedJob:
         each input byte ONCE. Without it the computed-hash filter cannot
         prune and every bucket job rescans the full input (fine for small
         snapshots, quadratic-ish waste at scale).
+
+        Lineage metrics (input_rows, output_rows, checksum) ride the write
+        job as ``df.observe`` aggregates — ONE pass per bucket, no extra
+        count() scan and no output re-read. ``verify_readback=True`` adds an
+        audit re-read of the written files and cross-checks row count and
+        checksum against the observed values (storage round-trip proof; off
+        by default because it re-reads the full output).
         """
         if bucket_col is not None:
+            # validate ONCE that the storage bucketing matches the job config:
+            # out-of-range or null bucket ids would match no per-bucket filter
+            # and be silently dropped while every manifest still commits
+            stats = source.select(
+                F.min(bucket_col).alias("mn"),
+                F.max(bucket_col).alias("mx"),
+                F.sum(F.col(bucket_col).isNull().cast("long")).alias("nulls"),
+            ).first()
+            if stats["nulls"] and stats["nulls"] > 0:
+                raise ValueError(f"bucket_col {bucket_col!r} has {stats['nulls']} NULL ids")
+            if stats["mn"] is not None and (stats["mn"] < 0 or stats["mx"] >= self.n_buckets):
+                raise ValueError(
+                    f"bucket_col {bucket_col!r} range [{stats['mn']}, {stats['mx']}] outside "
+                    f"[0, {self.n_buckets}) — storage bucketing disagrees with n_buckets"
+                )
             bucketed = source.withColumnRenamed(bucket_col, "__bucket")
         else:
             bucketed = source.withColumn(
@@ -102,23 +125,43 @@ class CheckpointedJob:
             if fail_after is not None and i >= fail_after:
                 raise RuntimeError(f"injected failure after {fail_after} buckets")
             t0 = time.time()
+            obs_in, obs_out = Observation(), Observation()
             part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
-            in_rows = part.count()
+            part = part.observe(obs_in, F.count(F.lit(1)).alias("n"))
             out = transform(part)
+            out = out.observe(
+                obs_out,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64(*sorted(out.columns)), F.lit(1_000_000_007))
+                ).alias("checksum"),
+            )
             path = os.path.join(self.root, f"bucket={b}")
             out.write.mode("overwrite").parquet(path)
-            spark = source.sparkSession
-            written = spark.read.parquet(path)
-            out_rows = written.count()
-            checksum = written.select(
-                F.sum(F.pmod(F.xxhash64(*sorted(written.columns)), F.lit(1_000_000_007))).alias("c")
-            ).collect()[0]["c"]
+            in_rows = int(obs_in.get["n"])
+            out_rows = int(obs_out.get["n"])
+            checksum = obs_out.get["checksum"]
+            checksum = int(checksum) if checksum is not None else 0
+            if verify_readback:
+                written = source.sparkSession.read.parquet(path)
+                rb = written.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.pmod(F.xxhash64(*sorted(written.columns)), F.lit(1_000_000_007))
+                    ).alias("checksum"),
+                ).first()
+                rb_sum = int(rb["checksum"]) if rb["checksum"] is not None else 0
+                if int(rb["n"]) != out_rows or rb_sum != checksum:
+                    raise RuntimeError(
+                        f"bucket {b} readback mismatch: wrote {out_rows}/{checksum}, "
+                        f"read {int(rb['n'])}/{rb_sum}"
+                    )
             manifest = {
                 "snapshot_id": self.snapshot_id,
                 "bucket": b,
                 "input_rows": in_rows,
                 "output_rows": out_rows,
-                "checksum": int(checksum) if checksum is not None else 0,
+                "checksum": checksum,
                 "wall_ms": int((time.time() - t0) * 1000),
             }
             tmp = self._manifest_path(b) + ".tmp"

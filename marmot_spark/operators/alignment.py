@@ -60,3 +60,36 @@ def with_aligned_token(df: DataFrame, k_context: int = 0) -> DataFrame:
             ),
         )
     return df
+
+
+def with_pseudo_ref_membership(
+    tokens_exploded: DataFrame,
+    pseudo_refs: DataFrame,
+    on: str = "doc_id",
+    ref_tokens_col: str = "ref_tokens",
+    out_col: str = "in_pseudo_ref",
+) -> DataFrame:
+    """J4 pseudo-reference membership: flag whether each target token occurs in
+    the doc's pseudo-reference translation.
+
+    Reference semantics: marmot scores each token against a pseudo-reference
+    produced by another MT system (token-in-reference binary feature,
+    marmot/features — pseudo-reference extractor family [R — SURVEY.md §0]).
+
+    Spark-first shape: ONE equi-join per doc attaches the reference token
+    array (sort-merge for large reference sets, broadcast when small — left
+    to Catalyst/AQE stats), then per-token membership is ``array_contains``
+    on the riding array inside whole-stage codegen — no per-token join, no
+    shuffle beyond the single doc-level join. A doc with no pseudo-reference
+    yields 0 (not-in-reference), matching the reference's treatment of
+    missing system output.
+    """
+    joined = tokens_exploded.join(pseudo_refs, on, "left")
+    return joined.withColumn(
+        out_col,
+        F.when(
+            F.col(ref_tokens_col).isNotNull()
+            & F.array_contains(F.col(ref_tokens_col), F.col("tok")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int"),
+    ).drop(ref_tokens_col)

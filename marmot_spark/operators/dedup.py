@@ -210,17 +210,50 @@ def ngram_jaccard_pairs(
     block_col: str,
     k_shingle: int = 3,
     threshold_ppm: int = 500_000,
+    max_block: int | None = None,
+    sub_block_shingles: int = 0,
 ) -> DataFrame:
-    """Blocked exact n-gram-Jaccard pairs: candidates share ``block_col``."""
+    """Blocked exact n-gram-Jaccard pairs: candidates share ``block_col``.
+
+    This is the exact-verify, small-scope tool; inside a block the join is
+    O(block^2), so a coarse block key (e.g. language over a web corpus) is a
+    scale trap. Two guardrails for larger inputs:
+
+    * ``sub_block_shingles=m`` refines the block key with the m SMALLEST
+      shingle hashes (each doc explodes into m (block, shingle) sub-blocks; a
+      pair with Jaccard >= t shares a smallest-m shingle with probability
+      ~1-(1-t)^m, so recall stays high for near-dups while a corpus-sized
+      block shatters into per-shingle buckets — the same shape as minhash
+      banding, but with EXACT verification and no signature approximation).
+    * ``max_block`` drops (sub-)blocks larger than the cap before the
+      self-join — mirroring ``max_bucket`` in minhash_lsh_pairs: an oversized
+      bucket means a degenerate key, not real candidates.
+
+    For corpus-scale dedup prefer ``minhash_lsh_pairs``; this operator is the
+    precision instrument.
+    """
     s = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), shingle_hashes_col(tokens_col, k_shingle).alias("sh")
     ).filter(F.size("sh") > 0)
+    if sub_block_shingles > 0:
+        m = sub_block_shingles
+        s = (
+            s.withColumn("__sub", F.explode(F.slice(F.array_sort("sh"), 1, m)))
+            .withColumn("blk", F.concat_ws("|", F.col("blk").cast("string"), F.col("__sub").cast("string")))
+            .drop("__sub")
+        )
+    if max_block is not None:
+        wcnt = Window.partitionBy("blk")
+        s = s.withColumn("__bsz", F.count(F.lit(1)).over(wcnt)).filter(F.col("__bsz") <= max_block).drop("__bsz")
     a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
     b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
-    return (
+    out = (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard_ppm", jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "jaccard_ppm")
     )
+    if sub_block_shingles > 0:
+        out = out.dropDuplicates(["id_a", "id_b"])  # a pair can share several sub-blocks
+    return out

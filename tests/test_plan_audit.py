@@ -113,6 +113,37 @@ def test_flagship_tokens_never_shuffle(spark):
         assert "tokens#" not in node, f"tokens crossed an exchange:\n{node[:400]}"
 
 
+def test_flagship_joinback_regimes(spark):
+    """The join-back hint is conditional on narrow-side size: small regime
+    broadcasts the feature frame (tokens cross NO exchange); large regime
+    (threshold forced to 0) must NOT broadcast — a driver OOM at design scale
+    — and falls back to a shuffle-hash join (no sort of the wide rows), where
+    tokens cross exactly the one co-partitioning exchange."""
+    import re
+
+    import bench
+
+    data = bench._bench_data()
+
+    small = plan_of(bench.flagship_pipeline(spark, data), "formatted")
+    assert "BroadcastHashJoin" in small
+    nodes = re.split(r"\n(?=\(\d+\) )", small)
+    for node in [n for n in nodes if re.match(r"\(\d+\) (Broadcast)?Exchange", n)]:
+        assert "tokens#" not in node
+
+    big = plan_of(bench.flagship_pipeline(spark, data, broadcast_max_rows=0), "formatted")
+    assert "ShuffledHashJoin" in big
+    assert "SortMergeJoin" not in big, "wide rows must not be sorted for the join-back"
+    nodes = re.split(r"\n(?=\(\d+\) )", big)
+    tok_exchanges = [
+        n for n in nodes
+        if re.match(r"\(\d+\) (Broadcast)?Exchange", n) and "tokens#" in n
+    ]
+    assert all(not n.startswith("(0) BroadcastExchange") and "Broadcast" not in n.split("\n")[0]
+               for n in tok_exchanges), "tokens must never be broadcast"
+    assert len(tok_exchanges) <= 1, "tokens may cross only the join-back co-partitioning"
+
+
 def test_window_features_in_codegen(spark, sf_dir):
     """W1 context features (shift/zip/explode) run inside whole-stage codegen —
     no Python workers, no row-at-a-time eval in the hot path."""
