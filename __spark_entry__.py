@@ -452,6 +452,54 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_a7_quantiles(spark, sf):
+    """Grouped EXACT continuous quantiles (percentile with linear
+    interpolation — same definition as DuckDB quantile_cont). Quantile points
+    are multiples of 0.25 over integer cents, so the interpolated doubles are
+    binary-exact and engine-identical."""
+    ev = _events(spark, sf).withColumn("value_c", _cents("value"))
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value_c, 0.25)").alias("p25"),
+        F.expr("percentile(value_c, 0.5)").alias("p50"),
+        F.expr("percentile(value_c, 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_A7 = f"""
+SELECT event_type,
+  quantile_cont({_CENTS_SQL.format(c='value')}, 0.25) AS p25,
+  quantile_cont({_CENTS_SQL.format(c='value')}, 0.5)  AS p50,
+  quantile_cont({_CENTS_SQL.format(c='value')}, 0.75) AS p75,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def _q_a5_rollup(spark, sf):
+    """A5 grouping sets through Catalyst's native ROLLUP — subtotal and
+    grand-total rows with integer-exact sums."""
+    li = _tbl(spark, sf, "lineitem").withColumn("price_c", _cents("l_extendedprice"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("price_c").alias("sum_price_c"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "sum_price_c", "n_rows",
+        )
+    )
+
+
+_SQL_A5 = f"""
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+  COALESCE(l_linestatus, '<all>') AS l_linestatus,
+  CAST(sum({_CENTS_SQL.format(c='l_extendedprice')}) AS BIGINT) AS sum_price_c,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def _q_f8_binarize_onehot(spark, sf):
     d = _tbl(spark, sf, "documents")
     vocab = fit_vocab(d, "lang")
@@ -1319,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_length_stats": _q_a1_length_stats,
         "a2_vocab_counts": _q_a2_vocab_counts,
         "a3_label_distribution": _q_a3_label_distribution,
+        "a5_rollup": _q_a5_rollup,
+        "a7_quantiles": _q_a7_quantiles,
         "f8_binarize_onehot": _q_f8_binarize_onehot,
         "o2_topk_per_group": _q_o2_topk_per_group,
         "set_ops_vocab_overlap": _q_set_ops_vocab_overlap,
@@ -1366,6 +1416,8 @@ def oracle_sql() -> dict[str, str]:
         "a1_length_stats": _SQL_A1,
         "a2_vocab_counts": _SQL_A2,
         "a3_label_distribution": _SQL_A3,
+        "a5_rollup": _SQL_A5,
+        "a7_quantiles": _SQL_A7,
         "f8_binarize_onehot": _SQL_F8,
         "o2_topk_per_group": _SQL_O2,
         "set_ops_vocab_overlap": _SQL_SETOPS,

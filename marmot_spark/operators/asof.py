@@ -279,10 +279,18 @@ def _boundary_carries(
     n_salts: int,
 ) -> DataFrame | None:
     """One carried label per (hot key, later chunk): the latest right row
-    STRICTLY before the chunk boundary, found by a tiny recursive as-of
-    lookup of the n_salts-1 boundary instants against the hot labels.
-    O(n_salts) carry rows per hot key — vs O(labels x n_salts) under hash
-    salting."""
+    STRICTLY before the chunk boundary. O(n_salts) carry rows per hot key —
+    vs O(labels x n_salts) under hash salting.
+
+    Shape matters for plan DEPTH, not just row counts: an earlier version
+    found the carries with a recursive as-of lookup (union + sort + window —
+    ~6 sequential stages + a broadcast round-trip on the critical path, paid
+    at plan-fixed latency regardless of data size). This form is a broadcast
+    of the (hot_keys x n_salts) boundary instants into the hot labels + one
+    ``max_by`` aggregation — 2 stages, map-side partial agg, no sort. Same
+    result: per (key, boundary) the row with max (ts, tie) among rows
+    strictly before the boundary.
+    """
     brows = []
     for k, (mnus, mxus) in hot_bounds_us.items():
         span = max((mxus - mnus) // n_salts, 1)
@@ -296,27 +304,29 @@ def _boundary_carries(
     rhot = (
         right.filter(F.col(key).isin(list(hot_bounds_us)))
         .withColumn("__rus", F.unix_micros(F.col(right_ts)))
-        .withColumn("__ots", F.col(right_ts))
         .withColumn("__otie", (F.col(tie_break) if tie_break else F.lit(0)).cast("long"))
-        .withColumn("__otie2", (F.col(tie_break) if tie_break else F.lit(0)).cast("long"))
     )
-    looked = asof_join(
-        bdf, rhot, on=key, left_ts="__bus", right_ts="__rus",
-        payload=["__ots", "__otie2"] + list(payload),
-        tie_break="__otie",
-    )
-    return (
-        looked.filter(F.col("__ots").isNotNull())
-        .select(
-            F.col(key),
-            F.col(key).alias("__rk"),
-            F.col("__carry_salt").alias(_SALT),
-            F.lit(0).alias(_SIDE),
-            F.col("__ots").alias(_TS),
-            F.col("__otie2").alias(_TIE),
-            F.col("__ots").alias(_MATCH_TS),
-            *[F.col(c) for c in payload],
+    best = (
+        rhot.join(F.broadcast(bdf), key)
+        .filter(F.col("__rus") <= F.col("__bus"))
+        .groupBy(key, "__carry_salt")
+        .agg(
+            F.max_by(
+                F.struct(F.col(right_ts).alias("__ots"), F.col("__otie").alias("__tie"),
+                         *[F.col(c).alias(c) for c in payload]),
+                F.struct(F.col("__rus"), F.col("__otie")),
+            ).alias("__best")
         )
+    )
+    return best.select(
+        F.col(key),
+        F.col(key).alias("__rk"),
+        F.col("__carry_salt").alias(_SALT),
+        F.lit(0).alias(_SIDE),
+        F.col("__best.__ots").alias(_TS),
+        F.col("__best.__tie").alias(_TIE),
+        F.col("__best.__ots").alias(_MATCH_TS),
+        *[F.col(f"__best.{c}").alias(c) for c in payload],
     )
 
 

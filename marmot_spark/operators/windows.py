@@ -148,8 +148,16 @@ def sessionize(
     """
     df = ntz_to_ts(df, ts)
     tdouble = F.col(ts).cast("double")
+    # order by integer micros (same ordering as the raw timestamp) so a
+    # downstream rolling_count window — whose RANGE frames must sort by
+    # unix_micros — can reuse this operator's sort instead of re-sorting
+    lead = (
+        F.unix_micros(F.col(ts))
+        if dict(df.dtypes)[ts].startswith("timestamp")
+        else F.col(ts)
+    )
     if (not n_chunks or n_chunks <= 1) and chunk_col is None:
-        order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
+        order = [lead.asc()] + [F.col(c).asc() for c in (order_extra or [])]
         w = Window.partitionBy(entity).orderBy(*order)
         gap = tdouble - F.lag(tdouble, 1).over(w)
         new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
@@ -164,7 +172,7 @@ def sessionize(
         chunked, ch = df, chunk_col
     else:
         chunked, ch = _with_time_chunk(df, entity, tdouble, n_chunks, bounds=bounds), "__chunk"
-    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_extra or [])]
+    order = [lead.asc()] + [F.col(c).asc() for c in (order_extra or [])]
     w_loc = Window.partitionBy(entity, ch).orderBy(*order)
     gap = tdouble - F.lag(tdouble, 1).over(w_loc)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
@@ -331,16 +339,24 @@ def _rolling_chunked_frames(
     delta_type: str,
     chunk_col: str | None = None,
 ) -> DataFrame | None:
-    """Chunked rolling counts via in-chunk strict-count frames + boundary probes.
+    """Chunked rolling counts via in-chunk frames + a chunk-tail sideband.
 
-    Per (entity, time-chunk): cum_le and the STRICT below-window count are two
-    add-only RANGE frames on integer micros (one sort); broadcast per-chunk
-    offsets globalize them. Only rows whose probe point t-W falls BEFORE their
-    chunk start (~W/span of rows) emit a probe row into a slim second pass;
-    their results come back via a BROADCAST join. vs the full probe-stream
-    formulation this removes an n-row union window pass and turns the n-row
-    sort-merge join-back into a tiny broadcast — the wide payload (token
-    arrays) is never shuffled a second time.
+    KEY IDENTITY (makes global offsets unnecessary): the guard below ensures
+    window < chunk span, so a row's window reaches AT MOST one chunk back.
+    With lcum = in-chunk cum(ts' <= t) and llt = in-chunk cum(ts' < t-W),
+    the global chunk offsets CANCEL:
+
+        rolling(t) = [coff + lcum] - [coff - cnt_ge + llt]
+                   = lcum - llt + cnt_ge
+
+    where cnt_ge counts earlier-chunk events with ts' in [t-W, chunk_start) —
+    nonzero only for boundary rows (t-W before their chunk start, ~W/span of
+    rows), and computable from each chunk's LAST-W tail only. So the plan is:
+    ONE exchange on (entity, chunk), one WindowExec (two add-only RANGE
+    frames + row_number), a tiny sideband (union of ~W/span tail events +
+    probes, reverse-cumulative window), and a broadcast join-back. No totals
+    aggregate, no offset spine, no full-data second pass — at scale this is
+    one full shuffle of the narrow frame, full stop.
 
     Returns None when any entity's window spans >= its chunk span (every row
     would be a boundary row — the probe-stream path handles that better).
@@ -372,33 +388,11 @@ def _rolling_chunked_frames(
     else:
         base, ch = df.withColumn("__chunk", chunk_of(tus, entity)), "__chunk"
 
-    # dense offset spine: empty chunks still need correct cumulative offsets
-    totals = base.groupBy(entity, F.col(ch).alias("__chunk")).agg(F.sum(delta).alias("__tot"))
-    spine = (
-        df.sparkSession.createDataFrame([(k,) for k in bounds_us], schema=df.select(entity).schema)
-        .select(entity, F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("__chunk"))
-        # entities observed in data but missing from (possibly partial) bounds
-        # clamp into chunk 0 — keep their offset rows so the join drops nothing
-        .unionByName(totals.select(entity, "__chunk"))
-        .distinct()
-    )
-    w_ch = Window.partitionBy(entity).orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        spine.join(totals, [entity, "__chunk"], "left")
-        .select(
-            entity, "__chunk",
-            F.coalesce(
-                F.sum("__tot").over(w_ch), F.lit(0).cast(delta_type)
-            ).alias("__coff"),
-        )
-    )
-
     w_ord = Window.partitionBy(entity, ch).orderBy(tus)
     ev = (
         base.withColumn("__lcum", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, 0)))
         .withColumn("__llt", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, -(wus + 1))))
         .withColumn("__lrn", F.row_number().over(w_ord).cast("long"))
-        .join(F.broadcast(offs.withColumnRenamed("__chunk", ch) if ch != "__chunk" else offs), [entity, ch])
     )
 
     start = F.coalesce(
@@ -409,32 +403,49 @@ def _rolling_chunked_frames(
         F.lit(0).cast("long"),
     )
     p = tus - F.lit(wus)
-    is_bnd = p < start
+    # chunk 0 has no earlier chunk: every event below the probe point is
+    # in-chunk (clamped rows included), so llt already covers it — interior
+    # formula applies and no probe is needed
+    is_bnd = (p < start) & (F.col(ch) > 0)
 
     probes = ev.filter(is_bnd).select(
         F.col(entity).alias("__ent"), p.alias("__tus"), F.lit(0).alias("__side"),
         F.col(ch).alias("__pchunk"), F.col("__lrn").alias("__prn"),
         F.lit(None).cast(delta_type).alias("__delta"),
     )
-    events2 = base.select(
+    # sideband events: only each chunk's LAST-W tail can be >= some probe
+    # point (plus loose-bounds clamped strays) — chunk_of(ts + W) names the
+    # chunk whose probes the event can serve; keep iff ts < that chunk's
+    # start (i.e. the event lies strictly before the served chunk)
+    serve = chunk_of(tus + F.lit(wus), entity)
+    serve_start = F.coalesce(
+        _case_over_entities(
+            lambda k: F.lit(bounds_us[k][0]) + serve.cast("long") * F.lit(spans[k]),
+            bounds_us, entity,
+        ),
+        F.lit(0).cast("long"),
+    )
+    tail = base.filter(tus < serve_start).select(
         F.col(entity).alias("__ent"), tus.alias("__tus"), F.lit(1).alias("__side"),
         F.lit(None).cast("int").alias("__pchunk"), F.lit(None).cast("long").alias("__prn"),
         delta.cast(delta_type).alias("__delta"),
     )
-    merged = events2.unionByName(probes).withColumn("__chunk2", chunk_of(F.col("__tus"), "__ent"))
+    # reverse-cumulative count within (entity, served chunk): at a probe row,
+    # sum(delta) over the DESC stream = events with ts >= probe point. Events
+    # sort before probes at equal ts (side desc) so ts == t-W is included —
+    # the window frame [t-W, t] is closed on the left.
+    merged = tail.unionByName(probes).withColumn(
+        "__k2", chunk_of(F.col("__tus") + F.lit(wus), "__ent")
+    )
     w2 = (
-        Window.partitionBy("__ent", "__chunk2")
-        .orderBy(F.col("__tus").asc(), F.col("__side").asc())
+        Window.partitionBy("__ent", "__k2")
+        .orderBy(F.col("__tus").desc(), F.col("__side").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    offs2 = offs.select(
-        F.col(entity).alias("__ent"), F.col("__chunk").alias("__chunk2"), F.col("__coff").alias("__coff2")
-    )
     probe_res = (
-        merged.withColumn("__lc", F.coalesce(F.sum("__delta").over(w2), F.lit(0).cast(delta_type)))
+        merged.withColumn("__ge", F.coalesce(F.sum("__delta").over(w2), F.lit(0).cast(delta_type)))
         .filter(F.col("__side") == 0)
-        .join(F.broadcast(offs2), ["__ent", "__chunk2"])
-        .select("__ent", "__pchunk", "__prn", (F.col("__lc") + F.col("__coff2")).alias("__pcnt"))
+        .select("__ent", "__pchunk", "__prn", F.col("__ge").alias("__pge"))
     )
 
     out = ev.join(
@@ -444,11 +455,11 @@ def _rolling_chunked_frames(
         & (ev["__lrn"] == probe_res["__prn"]),
         "left",
     )
-    cnt_lt = F.coalesce(
-        F.col("__pcnt"),
-        F.col("__coff") + F.coalesce(F.col("__llt"), F.lit(0).cast(delta_type)),
+    result = (
+        F.col("__lcum")
+        - F.coalesce(F.col("__llt"), F.lit(0).cast(delta_type))
+        + F.coalesce(F.col("__pge"), F.lit(0).cast(delta_type))
     )
-    result = (F.col("__lcum") + F.col("__coff")) - cnt_lt
     if value_col is None:
         result = result.cast("long")
     return out.select(*[F.col(c) for c in df.columns], result.alias(out_col))
