@@ -62,7 +62,15 @@ _MATCH_TS = "__asof_match_ts"
 
 
 def detect_hot_keys(df: DataFrame, key: str, threshold: float = 0.05, sample_fraction: float | None = None) -> list:
-    """Keys owning more than ``threshold`` of rows (sampled scan, one agg)."""
+    """Keys owning more than ``threshold`` of rows (sampled scan, one agg).
+
+    NOTE: runs two small Spark jobs (count + filtered collect) at PLAN-BUILD
+    time — so ``asof_join(auto_salt=True)`` pays them before the main job
+    starts, and they re-execute ``df``'s upstream plan. For repeated or
+    derived inputs, detect once on the cheapest equivalent frame (e.g. the
+    raw scan) and pass ``hot_keys=`` explicitly, as the flagship does with
+    its single plan-build collect.
+    """
     src = df.sample(sample_fraction) if sample_fraction else df
     counts = src.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
     total = src.count()
