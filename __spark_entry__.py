@@ -308,6 +308,40 @@ FROM ({_SQL_J2})
 """
 
 
+def _q_j2_asof_merge(spark, sf):
+    """J2 via the EXPLICIT Arrow merge kernel (strategy='merge'):
+    co-partitioned sortWithinPartitions + vectorized grouped forward-fill in
+    mapInPandas with cross-batch carry — the north star's sort-merge shape,
+    verified against the same DuckDB ASOF oracle as the window strategy."""
+    out = asof_join(
+        _events(spark, sf), _errors(spark, sf), on="user_id", left_ts="ts", right_ts="err_ts",
+        payload=["err_value_c"], tie_break="err_event_id", strategy="merge",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("matched_ts").alias("err_ts_us"), "err_value_c",
+    )
+
+
+def _q_a4_rolling_chunked(spark, sf):
+    """A4 through the chunked scale path (n_chunks=4) on a LOW-CARDINALITY
+    hot entity (event_type, 5 values — the scenario chunking exists for):
+    per-entity time-range chunks, in-chunk frames + chunk-tail sideband.
+    The driver gate pins chunked == SQL."""
+    ev = _events(spark, sf).withColumn("value_c", _cents("value"))
+    ev = rolling_count(ev, "event_type", "ts", 3600, "rolling_n", n_chunks=4)
+    ev = rolling_count(ev, "event_type", "ts", 3600, "rolling_value_c", value_col="value_c", n_chunks=4)
+    return ev.select("event_id", "event_type", F.unix_micros("ts").alias("ts_us"), "rolling_n", "rolling_value_c")
+
+
+def _q_w6_sessionize_chunked(spark, sf):
+    """W6 through the chunked scale path (n_chunks=4) on event_type: local
+    sessions per time chunk + boundary-merge offsets; gate pins chunked==SQL."""
+    ev = sessionize(_events(spark, sf), "event_type", "ts", 1800.0,
+                    order_extra=["event_id"], n_chunks=4)
+    return ev.select("event_id", "event_type", F.unix_micros("ts").alias("ts_us"), "session_id")
+
+
 def _q_j1_alignment_join(spark, sf):
     docs = _docs(spark, sf)
     src = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("tokens").alias("src_tokens"))
@@ -327,6 +361,76 @@ SELECT e.doc_id, e.pos, e.tok,
   CAST(CASE WHEN b.doc_id IS NULL THEN {UNALIGNED_ID}
             ELSE COALESCE(b.tokens[e.pos+2], -2) END AS INT) AS aligned_lead_1
 FROM docs_e e LEFT JOIN docs_t b ON b.doc_id = e.doc_id + 1
+"""
+
+
+_SQL_A4_CHUNKED = f"""
+SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+  CAST(count(*) OVER w AS BIGINT) AS rolling_n,
+  CAST(sum({_CENTS_SQL.format(c='value')}) OVER w AS BIGINT) AS rolling_value_c
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+_SQL_W6_CHUNKED = """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800*1000000 THEN 1 ELSE 0 END)
+       OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+"""
+
+
+def _q_text_rarity_score(spark, sf):
+    """Rarity-based quality signal (LLM-pipeline filter): global frequency
+    rank per token id (1 = most frequent; ties by token id), then per-doc
+    sum and max of ranks. Integer-exact; the dict broadcasts."""
+    docs = _docs(spark, sf)
+    ex = explode_tokens(docs, keep=["doc_id"])
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranks = counts.withColumn("rank", F.row_number().over(w).cast("long")).select("tok", "rank")
+    return (
+        ex.join(F.broadcast(ranks), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("rank").alias("rarity_sum"), F.max("rank").alias("rarity_max"),
+             F.count(F.lit(1)).alias("n_tok"))
+    )
+
+
+_SQL_RARITY = f"""
+WITH {DOCS_T}, {DOCS_E},
+counts AS (SELECT tok, count(*) AS cnt FROM docs_e GROUP BY tok),
+ranks AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank FROM counts)
+SELECT e.doc_id, CAST(sum(r.rank) AS BIGINT) AS rarity_sum,
+  CAST(max(r.rank) AS BIGINT) AS rarity_max, CAST(count(*) AS BIGINT) AS n_tok
+FROM docs_e e JOIN ranks r USING (tok)
+GROUP BY e.doc_id
+"""
+
+
+def _q_pivot_counts(spark, sf):
+    """Dynamic pivot: per-user event counts spread into one column per event
+    type (deterministic column set via explicit pivot values)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = _events(spark, sf)
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id
 """
 
 
@@ -1360,6 +1464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_rolling_count": _q_a4_rolling_count,
         "j2_asof_backfill": _q_j2_asof_backfill,
         "j2_asof_tolerance": _q_j2_asof_tolerance,
+        "j2_asof_merge": _q_j2_asof_merge,
+        "a4_rolling_chunked": _q_a4_rolling_chunked,
+        "w6_sessionize_chunked": _q_w6_sessionize_chunked,
+        "text_rarity_score": _q_text_rarity_score,
+        "pivot_counts": _q_pivot_counts,
         "j1_alignment_join": _q_j1_alignment_join,
         "j4_pseudo_ref": _q_j4_pseudo_ref,
         "j3_ngram_membership": _q_j3_ngram_membership,
@@ -1409,6 +1518,11 @@ def oracle_sql() -> dict[str, str]:
         "a4_rolling_count": _SQL_A4,
         "j2_asof_backfill": _SQL_J2,
         "j2_asof_tolerance": _SQL_J2_TOL,
+        "j2_asof_merge": _SQL_J2,
+        "a4_rolling_chunked": _SQL_A4_CHUNKED,
+        "w6_sessionize_chunked": _SQL_W6_CHUNKED,
+        "text_rarity_score": _SQL_RARITY,
+        "pivot_counts": _SQL_PIVOT,
         "j1_alignment_join": _SQL_J1,
         "j4_pseudo_ref": _SQL_J4,
         "j3_ngram_membership": _SQL_J3,
