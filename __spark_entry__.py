@@ -434,6 +434,23 @@ FROM events GROUP BY user_id
 """
 
 
+def _q_s5_external_pipe(spark, sf):
+    """S5 external-tool source: stream each partition's text through a real
+    subprocess (`tr a-z A-Z`) inside mapInPandas — the fast_align/TreeTagger
+    integration shape — and verify the round-trip against SQL upper(). Valid
+    because the synthetic corpus is pure ASCII (octet_length == length)."""
+    from marmot_spark.sources.external import pipe_text
+
+    d = _tbl(spark, sf, "documents").select("doc_id", "text")
+    out = pipe_text(d, "text", ["tr", "a-z", "A-Z"], out_col="upper_text")
+    return out.select("doc_id", "upper_text")
+
+
+_SQL_S5 = """
+SELECT doc_id, upper(text) AS upper_text FROM documents
+"""
+
+
 def _q_j4_pseudo_ref(spark, sf):
     """J4: per-token membership in the doc's pseudo-reference (the doc_id+1
     document stands in as the other system's output, like J1's source)."""
@@ -1471,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": _q_pivot_counts,
         "j1_alignment_join": _q_j1_alignment_join,
         "j4_pseudo_ref": _q_j4_pseudo_ref,
+        "s5_external_pipe": _q_s5_external_pipe,
         "j3_ngram_membership": _q_j3_ngram_membership,
         "w3_longest_ngram": _q_w3_longest_ngram,
         "a1_length_stats": _q_a1_length_stats,
@@ -1525,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_counts": _SQL_PIVOT,
         "j1_alignment_join": _SQL_J1,
         "j4_pseudo_ref": _SQL_J4,
+        "s5_external_pipe": _SQL_S5,
         "j3_ngram_membership": _SQL_J3,
         "w3_longest_ngram": _SQL_W3,
         "a1_length_stats": _SQL_A1,

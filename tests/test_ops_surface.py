@@ -118,6 +118,49 @@ def test_tableio_snapshots(spark, fixture_dir, tmp_path):
         tio.read("nope")
 
 
+def test_external_pipe_tool(spark):
+    """S5 external-tool source: subprocess per Arrow batch and long-lived
+    per-partition worker agree; NULLs bypass the tool; a tool that breaks the
+    one-line-per-line contract fails loudly."""
+    from marmot_spark.sources.external import pipe_text
+
+    import sys as _sys
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "MiXeD case"), (4, "")],
+        "id long, text string",
+    ).repartition(2)
+
+    # per-batch mode: any line-oriented filter works (tool sees EOF per batch)
+    rows = {r["id"]: r["up"] for r in pipe_text(
+        df, "text", ["tr", "a-z", "A-Z"], out_col="up"
+    ).collect()}
+    assert rows == {1: "HELLO WORLD", 2: None, 3: "MIXED CASE", 4: ""}
+
+    # per-partition long-lived worker: requires a line-FLUSHING interactive
+    # tool (the fast_align force-align shape) — a python -u upcaser stands in
+    worker = [
+        _sys.executable, "-u", "-c",
+        "import sys\nfor line in sys.stdin: print(line.rstrip('\\n').upper(), flush=True)",
+    ]
+    rows = {r["id"]: r["up"] for r in pipe_text(
+        df, "text", worker, out_col="up", per_partition=True
+    ).collect()}
+    assert rows == {1: "HELLO WORLD", 2: None, 3: "MIXED CASE", 4: ""}
+
+    # tool emitting the wrong line count (uniq collapses duplicates)
+    dup = spark.createDataFrame([(1, "same"), (2, "same")], "id long, text string").coalesce(1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="contract|emitted"):
+        pipe_text(dup, "text", ["uniq"], out_col="u").collect()
+
+    # embedded newline must be rejected, not silently mis-align rows
+    nl = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    with _pytest.raises(Exception, match="newline"):
+        pipe_text(nl, "text", ["cat"], out_col="c").collect()
+
+
 def test_tableio_iceberg_branch_logic(monkeypatch, tmp_path):
     """The iceberg backend is import-guarded (no runtime jar in this sandbox);
     exercise its read/write branch logic against recording fakes so the
