@@ -58,9 +58,18 @@ SCALING_ROWS = os.environ.get("SPARK_GRAFT_SCALING_ROWS", "600000")
 def run_bench_once(cpus: int, zpath: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_ONLY="flagship",
                SPARK_GRAFT_BENCH_ROWS=SCALING_ROWS)
+    # SPARK_GRAFT_MASTER_FORM=local-cluster measures the literal N-executors
+    # form: N separate single-core executor JVMs (own heap/GC each) instead
+    # of N threads in one JVM
+    if os.environ.get("SPARK_GRAFT_MASTER_FORM") == "local-cluster":
+        mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "6144")
+        master = f"local-cluster[{cpus},1,{mem}]"
+        env["SPARK_GRAFT_MASTER"] = master
+    else:
+        master = f"local[{cpus}]"
     spark_submit = shutil.which("spark-submit")
     if spark_submit:
-        cmd = [spark_submit, "--master", f"local[{cpus}]", "--py-files", zpath,
+        cmd = [spark_submit, "--master", master, "--py-files", zpath,
                "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
                os.path.join(REPO, "bench.py")]
     else:

@@ -172,36 +172,50 @@ def _time_noop(df) -> float:
     return time.time() - t0
 
 
-def _jvm_pid() -> int | None:
-    """Pid of the Spark JVM: our child (python-launched py4j) or our parent
-    (spark-submit launches the JVM, which launches this python driver)."""
-    me = os.getpid()
-    candidates = []
+def _jvm_pids() -> list[int]:
+    """All Spark JVMs in this process's tree: the py4j child (or spark-submit
+    parent) in local mode, plus worker/executor JVMs in local-cluster mode
+    (they are descendants of the gateway JVM)."""
+    me, parent = os.getpid(), os.getppid()
+    procs = {}
     for p in os.listdir("/proc"):
         if not p.isdigit():
             continue
         try:
             with open(f"/proc/{p}/stat") as f:
                 parts = f.read().split()
-            comm, ppid = parts[1], int(parts[3])
+            procs[int(p)] = (parts[1], int(parts[3]))
         except OSError:
             continue
-        if "java" in comm and (ppid == me or int(p) == os.getppid()):
-            candidates.append(int(p))
-    return candidates[0] if candidates else None
+
+    def in_tree(pid: int) -> bool:
+        seen = set()
+        while pid > 1 and pid not in seen:
+            if pid in (me, parent):
+                return True
+            seen.add(pid)
+            pid = procs.get(pid, ("", 0))[1]
+        return False
+
+    return [p for p, (comm, _) in procs.items() if "java" in comm and in_tree(p)]
 
 
-def _jvm_cpu_s(pid: int | None) -> float:
-    """Cumulative CPU seconds (utime+stime, incl. reaped children) of the JVM."""
-    if pid is None:
-        return 0.0
-    try:
-        with open(f"/proc/{pid}/stat") as f:
-            parts = f.read().split()
-        hz = os.sysconf("SC_CLK_TCK")
-        return (int(parts[13]) + int(parts[14])) / hz
-    except OSError:
-        return 0.0
+def _jvm_cpu_s(pids) -> float:
+    """Cumulative CPU seconds (utime+stime) across the given JVMs.
+
+    Re-resolves the pid set at read time so executor JVMs that appeared after
+    the first snapshot are counted; exited executors lose their accumulated
+    time (acceptable: bench JVMs live for the whole measurement)."""
+    total = 0.0
+    hz = os.sysconf("SC_CLK_TCK")
+    for pid in set(pids) | set(_jvm_pids()):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+            total += (int(parts[13]) + int(parts[14])) / hz
+        except OSError:
+            continue
+    return total
 
 
 def main():
@@ -209,7 +223,11 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     data_dir = _bench_data()
 
-    spark = build_session("marmot_spark_bench", master=f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER overrides the thread-mode default — e.g.
+    # "local-cluster[4,1,6144]" runs 4 SEPARATE single-core executor JVMs
+    # (the literal N-executors form of the scaling criterion)
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    spark = build_session("marmot_spark_bench", master=master)
     results: dict[str, float] = {}
 
     # Flagship plan is explicitly partitioned (entity x time-chunk) and
@@ -244,7 +262,7 @@ def main():
         flagship_pipeline(spark, data_dir).write.mode("overwrite").parquet(out_dir)
         results["flagship_sink"] = time.time() - t0
         n_feature_rows = spark.read.parquet(out_dir).count()
-    jvm = _jvm_pid()
+    jvm = _jvm_pids()
     cpu0 = _jvm_cpu_s(jvm)
     t0 = time.time()
     flagship_pipeline(spark, data_dir).write.format("noop").mode("overwrite").save()

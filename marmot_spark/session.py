@@ -32,7 +32,14 @@ def build_session(
         # rest of the wave); SPARK_GRAFT_SHUFFLE_PER_CORE tunes it
         mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PER_CORE", "1"))
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        n = os.cpu_count() or 32 if inner == "*" else int(inner)
+        if "," in inner:
+            # local-cluster[numWorkers, coresPerWorker, memMB]
+            parts = inner.split(",")
+            n = int(parts[0]) * int(parts[1])
+        elif inner == "*":
+            n = os.cpu_count() or 32
+        else:
+            n = int(inner)
         shuffle_partitions = max(2, n * mult)
     b = (
         SparkSession.builder.master(master)
