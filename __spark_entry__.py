@@ -1473,6 +1473,35 @@ WHERE end_us <= (SELECT epoch_us(m) FROM bounds) - 432000000000
 """
 
 
+def _q_streaming_stateful_totals(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (n_events, sum_value_c) in GroupState, update mode. The source is
+    a single file -> ONE micro-batch, so the update-mode memory sink holds
+    exactly one final-totals row per user — SQL-expressible, full oracle.
+    Multi-batch incremental-state semantics are pinned by
+    tests/test_ops_surface.py::test_streaming_stateful_totals."""
+    from marmot_spark.streaming.stream import streaming_source, streaming_stateful_totals
+
+    schema = _events(spark, sf).schema
+    src = streaming_source(spark, f"{sf}/events.parquet", schema).withColumn(
+        "value_c", _cents("value").cast("double")
+    )
+    totals = streaming_stateful_totals(src, entity="user_id", value_col="value_c")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            totals.writeStream.format("memory").queryName("stream_totals_q")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_totals_q").select(
+        "user_id", "n_events", F.floor(F.col("sum_value") + F.lit(0.5)).cast("long").alias("sum_value_c"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -1525,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_late_data": _q_streaming_late_data,
+        "streaming_stateful_totals": _q_streaming_stateful_totals,
     }
 
 
@@ -1580,4 +1610,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _SQL_MULTIMODAL_FEATS,
         "streaming_sessionize": _SQL_STREAM_SESS,
         "streaming_late_data": _SQL_STREAM_LATE,
+        "streaming_stateful_totals": f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum({_CENTS_SQL.format(c='value')}) AS BIGINT) AS sum_value_c
+FROM events GROUP BY user_id
+""",
     }

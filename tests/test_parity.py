@@ -173,6 +173,37 @@ def test_chunked_sessionize_and_rolling_match_serial(spark, fixture_dir):
         sessionize(seqs, "doc_id", "seq_ts", 60.0, n_chunks=4).collect()
 
 
+def test_chunked_rolling_randomized_stress(spark):
+    """Randomized adversarial check of the chunk-tail sideband algebra
+    (rolling = lcum - llt + cnt_ge): duplicate timestamps ON chunk
+    boundaries, negative deltas, windows sized to flood the boundary region,
+    and a window >= span case that must fall back — all equal to the naive
+    RANGE-frame formulation."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from marmot_spark.operators.windows import rolling_count
+
+    rng = np.random.default_rng(7)
+    base = datetime(2026, 1, 1)
+    for trial, (win, n_chunks) in enumerate([(50, 4), (290, 3), (1000, 2), (10_000, 4)]):
+        rows = []
+        for ent in ["a", "b"]:
+            t = 0.0
+            for _ in range(300):
+                t += float(rng.choice([0.0, 0.0, 1.0, 7.0, 60.0, 300.0]))
+                rows.append((ent, base + timedelta(seconds=t),
+                             int(rng.integers(-5, 10))))
+        df = spark.createDataFrame(rows, "ent string, ts timestamp, v long")
+        for vc in [None, "v"]:
+            got = rolling_count(df, "ent", "ts", win, "rn", value_col=vc,
+                                n_chunks=n_chunks)
+            want = rolling_count(df, "ent", "ts", win, "rn", value_col=vc,
+                                 strategy="range")
+            sel = ["ent", "ts", "v", "rn"]
+            assert got.select(sel).exceptAll(want.select(sel)).count() == 0, (trial, vc)
+
+
 def test_shared_chunk_col_matches_serial(spark, fixture_dir):
     """rolling+sessionize over one shared with_time_chunk column == serial."""
     from marmot_spark.operators.windows import (
