@@ -328,6 +328,70 @@ def test_embedding_cosine_pairs_finds_rescaled_copies(spark, sf_dir):
     assert found <= expected
 
 
+def test_kmeans_codebook_ivf(spark):
+    """Spherical k-means codebook: bit-deterministic across runs, and on
+    CLUSTERED data where the first-N seed codebook is degenerate (all seed
+    vectors from one cluster), training must recover the cluster structure
+    and decisively beat the seed's recall."""
+    import numpy as np
+
+    from marmot_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, kmeans_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    bases = rng.integers(-1000, 1000, size=(8, 32)).astype(float)
+    rows = []
+    vid = 0
+    # ids 0..59 all belong to cluster 0 -> the lowest-id seed codebook puts
+    # every centroid inside one cluster
+    for c in range(8):
+        for _ in range(60):
+            vec = bases[c] + rng.integers(-3, 4, size=32)
+            rows.append((vid, [float(x) / 1000.0 for x in vec]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 60 == 30)  # one probe per cluster
+
+    cb1 = {r["cell"]: list(r["qcent"]) for r in kmeans_codebook(emb, n_cells=8, n_iters=5).collect()}
+    cb2 = {r["cell"]: list(r["qcent"]) for r in kmeans_codebook(emb, n_cells=8, n_iters=5).collect()}
+    assert cb1 == cb2, "k-means must be bit-deterministic"
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(codebook):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=1, codebook=codebook).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    def assignments(codebook):
+        from marmot_spark.operators.similarity import int_dot, quantized_col
+
+        c = emb.select(F.col("vec_id").alias("id"), quantized_col("embedding").alias("qc"))
+        return (
+            c.join(F.broadcast(codebook))
+            .withColumn("s", int_dot(F.col("qc"), F.col("qcent")))
+            .groupBy("id").agg(F.max_by("cell", F.struct(F.col("s"), -F.col("cell"))).alias("cell"))
+            .collect()
+        )
+
+    trained = kmeans_codebook(emb, n_cells=8, n_iters=5)
+    r_trained = recall(trained)
+    assert r_trained >= 0.95, r_trained
+    # training must RECOVER the 8 ground-truth clusters: every trained cell
+    # is pure (one cluster only) and every cluster got its own cell
+    cell_to_clusters: dict[int, set[int]] = {}
+    for r in assignments(trained):
+        cell_to_clusters.setdefault(r["cell"], set()).add(r["id"] // 60)
+    assert len(cell_to_clusters) == 8, sorted(cell_to_clusters)
+    assert all(len(cls) == 1 for cls in cell_to_clusters.values()), cell_to_clusters
+
+
 def test_derive_n_planes_scales_with_corpus():
     """Bucket count must grow with N: fixed 64 buckets over a web corpus is
     N^2/64 candidate pairs. Derived planes keep occupancy ~target_bucket."""
