@@ -1398,8 +1398,13 @@ def _q_streaming_late_data(spark, sf):
     ev_pd = pd.read_parquet(f"{sf}/events.parquet")
     cutoff = ev_pd["ts"].min() + pd.Timedelta(days=10)
     mx = ev_pd["ts"].max()
+    import hashlib
+
+    # stable digest (PYTHONHASHSEED-proof, so reruns reuse/clean the same dir)
+    # + pid so two concurrent runs on the same sf cannot rmtree each other
     d = os.path.join(
-        tempfile.gettempdir(), f"stream_late_{os.getuid()}_{abs(hash(sf)) % 10**8}"
+        tempfile.gettempdir(),
+        f"stream_late_{os.getuid()}_{hashlib.sha1(sf.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
@@ -1476,10 +1481,13 @@ WHERE end_us <= (SELECT epoch_us(m) FROM bounds) - 432000000000
 def _q_streaming_stateful_totals(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running (n_events, sum_value_c) in GroupState, update mode. The source is
-    a single file -> ONE micro-batch, so the update-mode memory sink holds
-    exactly one final-totals row per user — SQL-expressible, full oracle.
-    Multi-batch incremental-state semantics are pinned by
-    tests/test_ops_surface.py::test_streaming_stateful_totals."""
+    a single file -> normally ONE micro-batch, and the drain is made
+    deterministic against ANY batching: update mode emits one running-totals
+    row per touched key per micro-batch, and n_events is strictly increasing
+    per key, so the final state is ``max_by(sum, n_events)`` / ``max(n)`` over
+    the sink table — the same rows whether the source produced 1 batch or 10.
+    SQL-expressible, full oracle. Multi-batch incremental-state semantics are
+    pinned by tests/test_ops_surface.py::test_streaming_stateful_totals."""
     from marmot_spark.streaming.stream import streaming_source, streaming_stateful_totals
 
     schema = _events(spark, sf).schema
@@ -1497,9 +1505,132 @@ def _q_streaming_stateful_totals(spark, sf):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("stream_totals_q").select(
-        "user_id", "n_events", F.floor(F.col("sum_value") + F.lit(0.5)).cast("long").alias("sum_value_c"),
+    return (
+        spark.table("stream_totals_q")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .select(
+            "user_id", "n_events",
+            F.floor(F.col("sum_value") + F.lit(0.5)).cast("long").alias("sum_value_c"),
+        )
     )
+
+
+def _q_j6_lookup_polysemy(spark, sf):
+    """J6: WordNet-style lookup-table join (SURVEY.md §2 J6/F5). The lexicon
+    maps word -> n_synsets; here it is derived deterministically (dictionary =
+    words with corpus frequency >= 5; polysemy = arithmetic of the word's
+    first/last chars + length, the same recipe as the token id) so DuckDB can
+    mirror it exactly. The join itself is the real J6 shape: a BROADCAST
+    lookup of a small dictionary against the exploded token stream — at 100 TB
+    the lexicon (WordNet is ~150k synsets) broadcasts, the corpus never
+    shuffles, and the groupBy is partial-aggregated per partition."""
+    w = (
+        _tbl(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    n_synsets = (
+        (
+            F.ascii(F.substring(F.col("word"), F.lit(1), F.lit(1))) * 31
+            + F.ascii(F.substring(F.col("word"), F.length("word"), F.lit(1)))
+            + F.length("word") * 7
+        )
+        % 7
+        + 1
+    ).cast("int")
+    lex = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .select("word", n_synsets.alias("n_synsets"))
+    )
+    return (
+        w.join(F.broadcast(lex), "word")
+        .groupBy("word", "n_synsets")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+
+
+_SQL_J6 = """
+WITH w AS (
+  SELECT doc_id, u.x AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(x)
+  WHERE length(u.x) > 0
+),
+lex AS (
+  SELECT word,
+    CAST((ascii(substr(word,1,1))*31 + ascii(substr(word,length(word),1))
+          + 7*length(word)) % 7 + 1 AS INT) AS n_synsets
+  FROM (SELECT word FROM w GROUP BY word HAVING count(*) >= 5)
+)
+SELECT w.word, lex.n_synsets, CAST(count(*) AS BIGINT) AS n_occ
+FROM w JOIN lex USING (word)
+GROUP BY w.word, lex.n_synsets
+"""
+
+
+def _q_checkpoint_lineage(spark, sf):
+    """S6/S7 driver-visible evidence: run a CheckpointedJob over events
+    (8 hash buckets on user_id, transform = drop 'error' events + cents
+    projection, verify_readback=True), then read the committed snapshot BACK
+    from storage and emit one row combining the read-back aggregate with the
+    manifests' lineage totals. The oracle recomputes all of it from the raw
+    table, so a green hash proves (a) bucketed checkpoint output round-trips
+    storage exactly and (b) manifest input/output_rows lineage is truthful."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from marmot_spark.checkpoint import CheckpointedJob
+
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", "event_type", _cents("value").alias("value_c")
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"ckpt_lineage_{os.getuid()}_{hashlib.sha1(sf.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    job = CheckpointedJob(d, "lineage_q", snapshot_id=1, n_buckets=8)
+    job.run(
+        ev,
+        lambda part: part.filter(F.col("event_type") != "error").drop("event_type"),
+        bucket_key="user_id",
+        verify_readback=True,
+    )
+    mans = job.manifests()
+    man_out = sum(m["output_rows"] for m in mans)
+    man_in = sum(m["input_rows"] for m in mans)
+    return (
+        job.read_output(spark)
+        .agg(
+            F.count(F.lit(1)).alias("read_rows"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+        .select(
+            "read_rows",
+            "sum_value_c",
+            F.lit(man_out).cast("long").alias("manifest_output_rows"),
+            F.lit(man_in).cast("long").alias("manifest_input_rows"),
+            F.lit(len(mans)).cast("long").alias("n_buckets"),
+        )
+    )
+
+
+_SQL_CKPT_LINEAGE = f"""
+SELECT
+  CAST(count(*) FILTER (WHERE event_type != 'error') AS BIGINT) AS read_rows,
+  CAST(sum(CASE WHEN event_type != 'error' THEN {_CENTS_SQL.format(c='value')} END) AS BIGINT) AS sum_value_c,
+  CAST(count(*) FILTER (WHERE event_type != 'error') AS BIGINT) AS manifest_output_rows,
+  CAST(count(*) AS BIGINT) AS manifest_input_rows,
+  CAST(8 AS BIGINT) AS n_buckets
+FROM events
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1555,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_late_data": _q_streaming_late_data,
         "streaming_stateful_totals": _q_streaming_stateful_totals,
+        "j6_lookup_polysemy": _q_j6_lookup_polysemy,
+        "checkpoint_lineage": _q_checkpoint_lineage,
     }
 
 
@@ -1615,4 +1748,6 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
   CAST(sum({_CENTS_SQL.format(c='value')}) AS BIGINT) AS sum_value_c
 FROM events GROUP BY user_id
 """,
+        "j6_lookup_polysemy": _SQL_J6,
+        "checkpoint_lineage": _SQL_CKPT_LINEAGE,
     }

@@ -98,6 +98,16 @@ class CheckpointedJob:
         audit re-read of the written files and cross-checks row count and
         checksum against the observed values (storage round-trip proof; off
         by default because it re-reads the full output).
+
+        CAVEAT — multi-scan transforms: observe metrics count rows per PASS
+        through the observe node. A ``transform`` whose plan scans its input
+        more than once (self-join, un-cached reuse) inflates input_rows by
+        the scan count, and one that re-executes its own output subtree
+        inflates output_rows/checksum the same way. For such transforms
+        either ``.cache()`` the input inside the transform, or treat the
+        manifest metrics as per-pass totals; ``verify_readback=True`` will
+        surface an output-side inflation as a (deliberate, loud) mismatch
+        because the files on disk are the single-pass truth.
         """
         if bucket_col is not None:
             # validate ONCE that the storage bucketing matches the job config:

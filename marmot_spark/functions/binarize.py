@@ -17,26 +17,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def fit_vocab(df: DataFrame, col: str) -> DataFrame:
+MAX_VOCAB = 100_000  # one-hot width / single-task-sort / broadcast ceiling
+
+
+def fit_vocab(df: DataFrame, col: str, max_vocab: int = MAX_VOCAB) -> DataFrame:
     """(value, idx) vocabulary: sorted distinct values, idx 0..V-1.
 
-    The single-partition window is fine: vocabularies are small by
-    definition (categorical domains); the corpus itself never shuffles here.
+    The single-partition window is fine for CATEGORICAL domains — and only
+    those: fitting a high-cardinality column (a doc_id by mistake) would be
+    a one-task global sort plus a giant broadcast, a silent scale-killer.
+    Guarded: raises above ``max_vocab`` distinct values (the check is a
+    bounded ``limit(max_vocab+1).count()``, so it never aggregates the full
+    domain just to fail). Mirrors the 64-entity chunk-bounds guard in
+    operators/windows.py.
     """
-    w = Window.orderBy(F.col("value").asc())
-    return (
+    distinct = (
         df.select(F.col(col).alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
-        .withColumn("idx", F.row_number().over(w) - 1)
     )
+    n = distinct.limit(max_vocab + 1).count()
+    if n > max_vocab:
+        raise ValueError(
+            f"fit_vocab({col!r}): more than {max_vocab} distinct values — this is "
+            "not a categorical domain; one-hot binarization would need a "
+            f">{max_vocab}-wide array, a single-task global sort, and a giant "
+            "broadcast. Use hashing/embedding features instead, or raise max_vocab "
+            "explicitly if the domain really is categorical."
+        )
+    w = Window.orderBy(F.col("value").asc())
+    return distinct.withColumn("idx", F.row_number().over(w) - 1)
 
 
-def binarize(df: DataFrame, col: str, vocab: DataFrame, out_col: str | None = None, drop_idx: bool = True) -> DataFrame:
+def binarize(
+    df: DataFrame,
+    col: str,
+    vocab: DataFrame,
+    out_col: str | None = None,
+    drop_idx: bool = True,
+    max_vocab: int = MAX_VOCAB,
+) -> DataFrame:
     """Append ``{col}_onehot`` array<double> (all zeros for out-of-vocab/null)."""
     out_col = out_col or f"{col}_onehot"
     v = F.broadcast(vocab.select(F.col("value").alias(f"__{col}_v"), F.col("idx").alias(f"__{col}_i")))
     size = vocab.count()
+    if size > max_vocab:
+        raise ValueError(
+            f"binarize({col!r}): vocab has {size} entries > max_vocab={max_vocab} — "
+            "refusing the one-hot fan-out (see fit_vocab guardrail)"
+        )
     df = df.join(v, df[col] == v[f"__{col}_v"], "left")
     onehot = F.transform(
         F.sequence(F.lit(0), F.lit(size - 1)),

@@ -104,13 +104,40 @@ def pipe_text(
                 for ln in lines:
                     proc.stdin.write(ln + "\n")
                     proc.stdin.flush()
-                    out.append(proc.stdout.readline().rstrip("\n"))
+                    resp = proc.stdout.readline()
+                    if resp == "":
+                        # EOF while stdin is still open = the worker died
+                        # mid-partition. Without this check every remaining
+                        # row silently became "" — corruption, not an error.
+                        rc = proc.wait()
+                        raise RuntimeError(
+                            f"external tool {cmd[0]!r} exited (rc={rc}) "
+                            f"mid-partition after {len(out)} of {len(lines)} "
+                            "lines — the one-line-per-line contract is broken"
+                        )
+                    out.append(resp.rstrip("\n"))
                 result = pd.Series([None] * len(pdf), dtype=object, index=pdf.index)
                 result[mask] = out
                 pdf[out_col] = result
                 yield pdf
-        finally:
+            # drain check: a tool emitting >1 line per input would leave
+            # output buffered here and have misaligned every row after the
+            # first extra line — fail loudly instead
             proc.stdin.close()
+            trailing = proc.stdout.readline()
+            if trailing != "":
+                raise RuntimeError(
+                    f"external tool {cmd[0]!r} emitted trailing output after all "
+                    "inputs — more than one line per input line"
+                )
+            rc = proc.wait()
+            if rc != 0:
+                raise RuntimeError(f"external tool {cmd[0]!r} exited with rc={rc}")
+        finally:
+            try:
+                proc.stdin.close()
+            except (OSError, ValueError):
+                pass
             proc.wait()
 
     fn = feed_per_partition if per_partition else feed

@@ -40,11 +40,14 @@ def streaming_source(spark: SparkSession, path: str, schema: StructType, fmt: st
         # verify an existing entry actually points at the requested file (a
         # stale/foreign regular file or wrong link must not be silently read),
         # and tolerate the islink-check/symlink race
-        if os.path.islink(link):
-            if os.readlink(link) != target:
+        try:
+            if os.path.islink(link):
+                if os.readlink(link) != target:
+                    os.unlink(link)
+            elif os.path.exists(link):
                 os.unlink(link)
-        elif os.path.exists(link):
-            os.unlink(link)
+        except FileNotFoundError:
+            pass  # concurrent unlink in the islink/readlink race window
         if not os.path.islink(link):
             try:
                 os.symlink(target, link)

@@ -161,6 +161,79 @@ def test_external_pipe_tool(spark):
         pipe_text(nl, "text", ["cat"], out_col="c").collect()
 
 
+def test_external_pipe_worker_death_and_overflow_fail_loudly(spark):
+    """per_partition mode must NOT silently emit '' when the worker dies
+    mid-partition (EOF on readline), and must reject a tool that emits more
+    than one line per input (trailing buffered output) — both previously
+    corrupted rows silently (ADVICE r2)."""
+    import sys as _sys
+
+    from marmot_spark.sources.external import pipe_text
+
+    df = spark.createDataFrame(
+        [(i, f"line{i}") for i in range(6)], "id long, text string"
+    ).coalesce(1)
+
+    # worker echoes 2 lines then exits -> EOF mid-partition must raise
+    dying = [
+        _sys.executable, "-u", "-c",
+        "import sys\n"
+        "for i, line in enumerate(sys.stdin):\n"
+        "    if i >= 2: sys.exit(3)\n"
+        "    print(line.rstrip(chr(10)), flush=True)",
+    ]
+    with pytest.raises(Exception, match="exited|contract"):
+        pipe_text(df, "text", dying, out_col="o", per_partition=True).collect()
+
+    # worker emits TWO lines per input -> misalignment must be detected
+    doubler = [
+        _sys.executable, "-u", "-c",
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    s = line.rstrip(chr(10))\n"
+        "    print(s, flush=True)\n"
+        "    print(s + '!', flush=True)",
+    ]
+    with pytest.raises(Exception, match="trailing|more than one"):
+        pipe_text(df, "text", doubler, out_col="o", per_partition=True).collect()
+
+    # nonzero exit AFTER clean output must also surface
+    failing = [
+        _sys.executable, "-u", "-c",
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    print(line.rstrip(chr(10)), flush=True)\n"
+        "sys.exit(7)",
+    ]
+    with pytest.raises(Exception, match="rc=7"):
+        pipe_text(df, "text", failing, out_col="o", per_partition=True).collect()
+
+
+def test_binarize_guardrails(spark):
+    """F8: fitting a high-cardinality (non-categorical) column must raise
+    before the single-task global sort / giant broadcast (VERDICT r2 §wrong 1);
+    the check itself is bounded (limit N+1), not a full-domain aggregate."""
+    from marmot_spark.functions.binarize import binarize, fit_vocab
+
+    ids = spark.range(0, 500).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="categorical"):
+        fit_vocab(ids, "v", max_vocab=100)
+
+    # small categorical domain still fits + binarizes fine
+    cats = spark.range(0, 500).select((F.col("id") % 5).cast("string").alias("v"))
+    vocab = fit_vocab(cats, "v", max_vocab=100)
+    assert vocab.count() == 5
+    out = binarize(cats, "v", vocab).limit(10).collect()
+    assert all(len(r["v_onehot"]) == 5 and sum(r["v_onehot"]) == 1.0 for r in out)
+
+    # an oversized vocab handed directly to binarize is refused too
+    big_vocab = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("value"), F.col("id").cast("int").alias("idx")
+    )
+    with pytest.raises(ValueError, match="max_vocab"):
+        binarize(cats, "v", big_vocab, max_vocab=100)
+
+
 def test_tableio_iceberg_branch_logic(monkeypatch, tmp_path):
     """The iceberg backend is import-guarded (no runtime jar in this sandbox);
     exercise its read/write branch logic against recording fakes so the
@@ -390,6 +463,36 @@ def test_kmeans_codebook_ivf(spark):
         cell_to_clusters.setdefault(r["cell"], set()).add(r["id"] // 60)
     assert len(cell_to_clusters) == 8, sorted(cell_to_clusters)
     assert all(len(cls) == 1 for cls in cell_to_clusters.values()), cell_to_clusters
+
+
+def test_kmeans_codebook_high_dim_smoke(spark):
+    """Plan-size scaling: the per-dim sums run over posexplode rows
+    (groupBy(cell, dim) — ONE sum expression at any width), so a 256-dim
+    codebook trains without a thousands-of-aggregates Catalyst plan
+    (VERDICT r2 §wrong 2). Also pins the `cell long` schema so big vec_ids
+    seed cells without int overflow (ADVICE r2)."""
+    import numpy as np
+
+    from marmot_spark.operators.similarity import kmeans_codebook
+
+    rng = np.random.default_rng(11)
+    dim, n = 256, 120
+    # ids above 2^31-1 exercise the long cell schema
+    base = 5_000_000_000
+    rows = [
+        (base + i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = kmeans_codebook(emb, n_cells=4, n_iters=2)
+    assert dict(cb.dtypes)["cell"] == "bigint"
+    got = cb.collect()
+    assert len(got) == 4
+    assert all(len(r["qcent"]) == dim for r in got)
+    # determinism across runs
+    cb2 = kmeans_codebook(emb, n_cells=4, n_iters=2).collect()
+    assert sorted((r["cell"], list(r["qcent"])) for r in got) == sorted(
+        (r["cell"], list(r["qcent"])) for r in cb2
+    )
 
 
 def test_derive_n_planes_scales_with_corpus():
