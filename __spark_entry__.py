@@ -1633,6 +1633,119 @@ FROM events
 """
 
 
+def _q_split_assign(spark, sf):
+    """Deterministic content-hash train/val/test assignment (pure narrow
+    projection — the split of a doc never changes with corpus growth or
+    cluster shape; zero shuffle at any scale)."""
+    from marmot_spark.functions.splits import split_assign
+
+    d = _tbl(spark, sf, "documents").select("doc_id", "source")
+    return split_assign(d, id_col="doc_id", train_bps=9000, val_bps=500, seed=0)
+
+
+def _sql_split_assign() -> str:
+    from marmot_spark.functions.splits import split_hash_sql
+
+    h = split_hash_sql("doc_id", seed=0)
+    return f"""
+SELECT doc_id, source,
+  CASE WHEN {h} < 9000 THEN 'train'
+       WHEN {h} < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+_MIX_RATES = {"src0": 10000, "src1": 5000, "src2": 2500, "src3": 0}
+
+
+def _q_mixture_sample(spark, sf):
+    """Deterministic per-source mixture weights: keep hash(id) < rate_bps —
+    the same docs survive every run (reproducible mixtures). Narrow filter,
+    pushes to the scan."""
+    from marmot_spark.functions.splits import mixture_sample
+
+    d = _tbl(spark, sf, "documents").select("doc_id", "source")
+    return mixture_sample(d, _MIX_RATES, source_col="source", id_col="doc_id",
+                          seed=1, default_bps=7000)
+
+
+def _sql_mixture_sample() -> str:
+    from marmot_spark.functions.splits import split_hash_sql
+
+    h = split_hash_sql("doc_id", seed=1)
+    cases = " ".join(f"WHEN source = '{s}' THEN {b}" for s, b in _MIX_RATES.items())
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {h} < (CASE {cases} ELSE 7000 END)
+"""
+
+
+def _q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing: per-lang token streams ordered by
+    doc_id, sliced into 128-token packs; docs straddling a boundary split
+    across packs. n_chunks=4 exercises the two-phase prefix-sum scale path
+    (per-(part, chunk) cumsum + driver base offsets) — the naive whole-part
+    window would be one task per lang at 10^12 rows."""
+    from marmot_spark.operators.packing import pack_segments
+
+    d = _tbl(spark, sf, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_segments(
+        d, order_key="doc_id", n_tok_col="n_tok", max_len=128,
+        part_col="lang", n_chunks=4,
+    )
+
+
+_SQL_PACK = """
+WITH d AS (
+  SELECT lang, doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents WHERE length(string_split(text, ' ')) > 0
+),
+o AS (
+  SELECT lang, doc_id, n,
+    CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off
+  FROM d
+)
+SELECT lang, doc_id,
+  CAST(p.x AS BIGINT) AS pack_id,
+  CAST(greatest(p.x*128 - off, 0) AS INT) AS seg_start,
+  CAST(least((p.x+1)*128, off+n) - greatest(p.x*128, off) AS INT) AS seg_len,
+  CAST(greatest(p.x*128, off) - p.x*128 AS INT) AS pack_off
+FROM o, UNNEST(range(off//128, (off+n-1)//128 + 1)) AS p(x)
+"""
+
+
+def _q_text_repetition(spark, sf):
+    """Gopher-style repetition filter signals: duplicate word-2gram/3gram
+    fractions per doc (ppm). Pure Column exprs, codegen-fused."""
+    from marmot_spark.functions.text import repetition_cols
+
+    d = _tbl(spark, sf, "documents")
+    cols = repetition_cols("text")
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+def _rep_sql(k: int) -> str:
+    g = (
+        f"list_transform(range(length(string_split(text,' ')) - {k - 1}), i -> "
+        f"array_to_string(list_slice(string_split(text,' '), CAST(i+1 AS INT), CAST(i+{k} AS INT)), ''))"
+    )
+    return (
+        f"CASE WHEN length(string_split(text,' ')) >= {k} THEN "
+        f"CAST(floor((length({g}) - length(list_distinct({g}))) * 1000000.0 / length({g})) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+
+
+def _sql_text_repetition() -> str:
+    return f"""
+SELECT doc_id, {_rep_sql(2)} AS dup_2gram_ppm, {_rep_sql(3)} AS dup_3gram_ppm
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -1688,6 +1801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": _q_streaming_stateful_totals,
         "j6_lookup_polysemy": _q_j6_lookup_polysemy,
         "checkpoint_lineage": _q_checkpoint_lineage,
+        "split_assign": _q_split_assign,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
+        "text_repetition": _q_text_repetition,
     }
 
 
@@ -1750,4 +1867,8 @@ FROM events GROUP BY user_id
 """,
         "j6_lookup_polysemy": _SQL_J6,
         "checkpoint_lineage": _SQL_CKPT_LINEAGE,
+        "split_assign": _sql_split_assign(),
+        "mixture_sample": _sql_mixture_sample(),
+        "pack_sequences": _SQL_PACK,
+        "text_repetition": _sql_text_repetition(),
     }

@@ -172,6 +172,20 @@ def _time_noop(df) -> float:
     return time.time() - t0
 
 
+def _time_noop_median(mk_df, runs: int = 3) -> float:
+    """Median of `runs` executions (fresh DataFrame each, so no result reuse).
+
+    Single-shot headline timings proved noise-bound on this host: r2 published
+    tpch_q1 at 1.32s where the true warm cost is ~0.18s (BENCH/probe_q1.py —
+    first execution pays per-query codegen, and the VM's wall clock swings
+    2-3x with hypervisor neighbors). The median of three absorbs both; the
+    first run still includes codegen, so the median is a slight over-estimate,
+    never flattery."""
+    import statistics
+
+    return statistics.median(_time_noop(mk_df()) for _ in range(runs))
+
+
 def _jvm_pids() -> list[int]:
     """All Spark JVMs in this process's tree: the py4j child (or spark-submit
     parent) in local mode, plus worker/executor JVMs in local-cluster mode
@@ -274,7 +288,7 @@ def main():
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         qs = entrymod.queries()
         for name in HEADLINE:
-            results[name] = _time_noop(qs[name](spark, sf_dir))
+            results[name] = _time_noop_median(lambda: qs[name](spark, sf_dir))
 
     total = sum(results.values())
     print(json.dumps({

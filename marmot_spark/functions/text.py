@@ -74,6 +74,33 @@ def lang_id_col(text_col: str = "text") -> Column:
     )
 
 
+def repetition_cols(text_col: str = "text") -> dict[str, Column]:
+    """Gopher-style repetition signals: the fraction of duplicate word
+    n-grams in a document (highly repetitive docs — boilerplate, generated
+    spam — score high and get filtered before training).
+
+    dup_ngram_ppm = (n_ngrams - n_distinct_ngrams) / n_ngrams, scaled 1e6
+    floor (exact-rational, oracle-hashable); docs too short for the n-gram
+    order get 0. Pure Column expressions over the split array — JVM-side,
+    no shuffle, codegen-fused with the rest of the quality projection.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+
+    def dup_ppm(k: int) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), ""),
+        )
+        n_g = F.size(grams)
+        n_d = F.size(F.array_distinct(grams))
+        return F.when(
+            n >= k, F.floor((n_g - n_d) * F.lit(1_000_000) / n_g)
+        ).otherwise(F.lit(0)).cast("long")
+
+    return {"dup_2gram_ppm": dup_ppm(2), "dup_3gram_ppm": dup_ppm(3)}
+
+
 def doc_fingerprint_col(tokens_col: str = "tokens") -> Column:
     """Order-sensitive rolling fingerprint over int token ids.
 

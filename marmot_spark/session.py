@@ -77,8 +77,26 @@ def build_session(
         # 24.0-63.9s sink wall across interleaved runs, differences within
         # host noise) — at 10^12 rows the CPU saving is the bound that matters
         .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
+        # SHUFFLE codec zstd (level 1, the Spark default level) over default
+        # lz4: measured on the flagship at the 2.4M-row design-proxy input,
+        # interleaved medians, fresh JVMs (BENCH/BASELINE.md r3) — 1-core
+        # 87.3 -> 71.9 JVM-CPU-s (-18%), 4-core 113.8 -> 99.2 (-13%), i.e.
+        # faster at EVERY parallelism level: the narrow integer shuffle
+        # frames compress ~2x better than lz4 for comparable codec CPU, and
+        # fewer shuffle bytes relieve exactly the resource (memory/network
+        # bandwidth) that contends at scale. Same reasoning holds on a real
+        # cluster where shuffle crosses the network.
+        .config("spark.io.compression.codec", "zstd")
     )
-    for k, v in (extra_conf or {}).items():
+    # env-injected overrides (last wins) — lets subprocess-driven benchmarks
+    # (BENCH/sweep_configs.py) A/B single configs without code edits:
+    #   SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=lz4;spark.x=y"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    merged = dict(extra_conf or {})
+    for kv in filter(None, env_conf.split(";")):
+        k, _, v = kv.partition("=")
+        merged[k.strip()] = v.strip()
+    for k, v in merged.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,139 @@
+"""Token-pipeline extensions: sequence packing, deterministic splits,
+mixture sampling, repetition signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marmot_spark.functions.splits import mixture_sample, split_assign, split_hash_col
+from marmot_spark.operators.packing import pack_segments
+
+
+def _docs(spark, n=200, seed=7):
+    # deterministic synthetic (id, part, n_tok) stream
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        ((F.col("id") * 37 + seed) % 90 + 1).cast("int").alias("n_tok"),
+    )
+
+
+def test_pack_segments_reconstructs_stream(spark):
+    """Every token of every doc lands in exactly one pack segment; packs are
+    exactly max_len tokens (except each part's last); offsets are consistent."""
+    d = _docs(spark)
+    out = pack_segments(d, "doc_id", "n_tok", max_len=64, part_col="part").collect()
+    src = {(r["doc_id"]): (r["part"], r["n_tok"]) for r in _docs(spark).collect()}
+    # (a) per-doc coverage: segments tile [0, n_tok) without gaps/overlap
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(src)
+    for doc, segs in by_doc.items():
+        segs = sorted(segs, key=lambda r: r["seg_start"])
+        assert segs[0]["seg_start"] == 0
+        total = 0
+        for a, b in zip(segs, segs[1:]):
+            assert a["seg_start"] + a["seg_len"] == b["seg_start"]
+        total = sum(s["seg_len"] for s in segs)
+        assert total == src[doc][1]
+    # (b) per-pack fill: every pack except the last of each part is full,
+    # and pack_off slots tile [0, fill) without overlap
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault((r["part"], r["pack_id"]), []).append(r)
+    for (part, pid), segs in by_pack.items():
+        segs = sorted(segs, key=lambda r: r["pack_off"])
+        assert segs[0]["pack_off"] == 0
+        for a, b in zip(segs, segs[1:]):
+            assert a["pack_off"] + a["seg_len"] == b["pack_off"]
+        fill = sum(s["seg_len"] for s in segs)
+        last_pack = max(p for q, p in by_pack if q == part)
+        assert fill == 64 or pid == last_pack
+
+
+def test_pack_segments_chunked_equals_serial(spark):
+    """The two-phase (n_chunks>1) prefix-sum path is bit-identical to the
+    single-window form — chunk base offsets cancel exactly."""
+    d = _docs(spark, n=300)
+    a = sorted(
+        tuple(r) for r in pack_segments(d, "doc_id", "n_tok", 50, "part").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_segments(d, "doc_id", "n_tok", 50, "part", n_chunks=8).collect()
+    )
+    assert a == b
+
+
+def test_pack_segments_guardrail(spark):
+    d = _docs(spark, n=50)
+    with pytest.raises(ValueError, match="driver prefix cells"):
+        pack_segments(d, "doc_id", "n_tok", 64, "part", n_chunks=4096)
+
+
+def test_split_assign_deterministic_and_stable_under_growth(spark):
+    """Assignment depends only on the id: identical across runs AND for the
+    same ids inside a larger corpus (stable eval sets under snapshot growth)."""
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    big = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in split_assign(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # rough proportions at 90/5/5 over 500 ids
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert c["train"] > 400 and c["val"] >= 5 and c["test"] >= 5
+    # different seed decorrelates
+    b2 = {r["doc_id"]: r["split"] for r in split_assign(big, seed=3).collect()}
+    assert any(b2[k] != b[k] for k in b2)
+
+
+def test_mixture_sample_rates_and_subset(spark):
+    d = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep_all").otherwise("drop_all").alias("source"),
+    )
+    out = mixture_sample(
+        d, {"keep_all": 10000, "drop_all": 0}, source_col="source", id_col="doc_id"
+    ).collect()
+    assert len(out) == 1000
+    assert all(r["source"] == "keep_all" for r in out)
+    # half rate keeps a deterministic strict subset
+    half = mixture_sample(
+        d, {"keep_all": 5000, "drop_all": 0}, source_col="source", id_col="doc_id"
+    ).collect()
+    assert {r["doc_id"] for r in half} <= {r["doc_id"] for r in out}
+    assert 300 < len(half) < 700
+
+
+def test_split_hash_range(spark):
+    vals = [
+        r["h"]
+        for r in spark.range(1000)
+        .select(split_hash_col("id").alias("h"))
+        .collect()
+    ]
+    assert all(0 <= v < 10000 for v in vals)
+    assert len(set(vals)) > 500  # spreads
+
+
+def test_repetition_cols(spark):
+    from marmot_spark.functions.text import repetition_cols
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 5 grams 2 distinct
+            (2, "all words unique here now"),
+            (3, "x"),                  # too short for any n-gram
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in d.select(
+        "id", *[c.alias(k) for k, c in repetition_cols("text").items()]
+    ).collect()}
+    assert out[1]["dup_2gram_ppm"] == int((5 - 2) * 1_000_000 / 5)
+    assert out[2]["dup_2gram_ppm"] == 0 and out[2]["dup_3gram_ppm"] == 0
+    assert out[3]["dup_2gram_ppm"] == 0 and out[3]["dup_3gram_ppm"] == 0
