@@ -1746,6 +1746,39 @@ FROM documents
 """
 
 
+def _q_contamination_check(spark, sf):
+    """Benchmark-contamination scan: per TEST doc, the fraction of its
+    3-gram shingles that occur anywhere in the TRAIN split (split = the
+    deterministic content-hash assignment). Composes split_assign with the
+    dedup shingle machinery; the join key is the int64 shingle hash."""
+    from marmot_spark.functions.splits import split_assign
+    from marmot_spark.operators.dedup import cross_split_contamination
+
+    d = split_assign(_docs(spark, sf), id_col="doc_id")
+    return cross_split_contamination(d, "tokens", "split", "doc_id", k=3)
+
+
+def _sql_contamination_check() -> str:
+    from marmot_spark.functions.splits import split_hash_sql
+
+    h = split_hash_sql("doc_id", 0)
+    split = f"CASE WHEN {h} < 9000 THEN 'train' WHEN {h} < 9500 THEN 'val' ELSE 'test' END"
+    return f"""
+WITH {DOCS_T},
+s AS (
+  SELECT doc_id, {split} AS split, list_distinct({_SH3}) AS sh
+  FROM docs_t WHERE length(tokens) >= 3
+),
+tr AS (SELECT DISTINCT u.x AS shh FROM s, UNNEST(sh) AS u(x) WHERE split = 'train'),
+te AS (SELECT doc_id, u.x AS sh FROM s, UNNEST(sh) AS u(x) WHERE split = 'test')
+SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(tr.shh) AS BIGINT) AS n_contaminated,
+  CAST(floor(count(tr.shh) * 1000000 / count(*)) AS BIGINT) AS contamination_ppm
+FROM te LEFT JOIN tr ON te.sh = tr.shh
+GROUP BY te.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -1805,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "pack_sequences": _q_pack_sequences,
         "text_repetition": _q_text_repetition,
+        "contamination_check": _q_contamination_check,
     }
 
 
@@ -1871,4 +1905,5 @@ FROM events GROUP BY user_id
         "mixture_sample": _sql_mixture_sample(),
         "pack_sequences": _SQL_PACK,
         "text_repetition": _sql_text_repetition(),
+        "contamination_check": _sql_contamination_check(),
     }

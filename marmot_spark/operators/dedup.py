@@ -257,3 +257,61 @@ def ngram_jaccard_pairs(
     if sub_block_shingles > 0:
         out = out.dropDuplicates(["id_a", "id_b"])  # a pair can share several sub-blocks
     return out
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    tokens_col: str,
+    split_col: str,
+    id_col: str,
+    train_value: str = "train",
+    test_value: str = "test",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every TEST document, the fraction of
+    its k-gram shingles that also occur anywhere in the TRAIN split.
+
+    The standard eval-hygiene check for LLM training data (the reference has
+    no split notion — its WMT train/test are separate files by construction,
+    marmot/experiment/run_experiment.py [R — SURVEY.md §0]); at web scale the
+    same document (or a quotation of it) routinely lands on both sides of a
+    hash split, silently inflating eval scores.
+
+    Output: (id, n_shingles, n_contaminated, contamination_ppm) per test doc
+    with >= k tokens (shingles are per-doc DISTINCT — set semantics).
+
+    Scale shape: one narrow projection computes the shingle sets in-array
+    (codegen HOF, no shuffle); the train side collapses to DISTINCT shingle
+    hashes (partial-aggregated — the heavy lifting is map-side); the test
+    side joins on the shingle hash (int64 key, both sides shuffle on it —
+    the unavoidable exchange) and re-aggregates per doc. At 10^12 docs the
+    standard upgrade is a bloom filter over the train shingles broadcast as
+    a pre-filter so only probable hits reach the exchange; exact results
+    still come from this join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(split_col).alias("__split"),
+        shingle_hashes_col(tokens_col, k).alias("__sh"),
+    )
+    train = (
+        sh.filter(F.col("__split") == train_value)
+        .select(F.explode("__sh").alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    test = sh.filter(F.col("__split") == test_value).select(
+        "__id", F.explode("__sh").alias("sh")
+    )
+    return (
+        test.join(train, "sh", "left")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.floor(F.col("n_contaminated") * F.lit(1_000_000) / F.col("n_shingles")).cast("long"),
+        )
+    )

@@ -140,3 +140,39 @@ def pack_segments(
     )
     keep = ([part] if part_col else []) + [order_key]
     return df.select(*keep, seg)
+
+
+def assemble_packs(
+    docs: DataFrame,
+    segments: DataFrame,
+    tokens_col: str,
+    order_key: str,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Materialize the packed training sequences described by ``segments``
+    (the output of :func:`pack_segments`) into actual token arrays.
+
+    Join the segment metadata back to the token-bearing scan (equi-join on
+    the order key — the wide arrays shuffle ONCE, already sliced to just the
+    bytes each pack needs), then one groupBy(pack) gathers the slices in
+    pack_off order and flattens. Per-pack state is bounded by max_len tokens
+    by construction, so the collect_list can never blow up a task.
+
+    Output: (part?, pack_id, tokens array<...>, n_tok).
+    """
+    part = [part_col] if part_col else []
+    keys = part + [order_key]
+    joined = segments.join(docs.select(*keys, tokens_col), keys)
+    sliced = joined.select(
+        *part,
+        "pack_id",
+        F.struct(
+            F.col("pack_off"),
+            F.slice(F.col(tokens_col), F.col("seg_start") + 1, F.col("seg_len")).alias("seg"),
+        ).alias("__s"),
+    )
+    return (
+        sliced.groupBy(*part, "pack_id")
+        .agg(F.flatten(F.array_sort(F.collect_list("__s")).getField("seg")).alias("tokens"))
+        .withColumn("n_tok", F.size("tokens"))
+    )

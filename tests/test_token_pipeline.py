@@ -137,3 +137,58 @@ def test_repetition_cols(spark):
     assert out[1]["dup_2gram_ppm"] == int((5 - 2) * 1_000_000 / 5)
     assert out[2]["dup_2gram_ppm"] == 0 and out[2]["dup_3gram_ppm"] == 0
     assert out[3]["dup_2gram_ppm"] == 0 and out[3]["dup_3gram_ppm"] == 0
+
+
+def test_cross_split_contamination_planted(spark):
+    """A test doc that quotes a train doc scores 1e6 ppm; a disjoint test doc
+    scores 0; train/val docs emit no rows."""
+    from marmot_spark.operators.dedup import cross_split_contamination
+
+    rows = [
+        (1, "train", [1, 2, 3, 4, 5]),
+        (2, "train", [9, 9, 9, 9]),
+        (3, "test", [1, 2, 3, 4]),      # all 2 shingles inside doc 1
+        (4, "test", [7, 8, 7, 8, 7]),   # disjoint
+        (5, "test", [5, 1, 2, 3]),      # shingle (1,2,3) hits, (5,1,2) misses
+        (6, "val", [1, 2, 3]),
+        (7, "test", [1, 2]),            # too short for k=3 -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, tokens array<int>")
+    out = {r["doc_id"]: r for r in cross_split_contamination(
+        df, "tokens", "split", "doc_id", k=3
+    ).collect()}
+    assert set(out) == {3, 4, 5}
+    assert out[3]["contamination_ppm"] == 1_000_000 and out[3]["n_shingles"] == 2
+    assert out[4]["contamination_ppm"] == 0
+    assert out[5]["n_shingles"] == 2 and out[5]["n_contaminated"] == 1
+    assert out[5]["contamination_ppm"] == 500_000
+
+
+def test_assemble_packs_equals_naive_concat(spark):
+    """Segments + assembly reproduce the naive driver-side concat-and-chunk
+    exactly: same pack count, every pack's token array identical."""
+    rows = [
+        (i, "p%d" % (i % 2), list(range(i * 100, i * 100 + (i * 7 + 3) % 23 + 1)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, part string, toks array<int>")
+    d = df.withColumn("n_tok", F.size("toks"))
+    from marmot_spark.operators.packing import assemble_packs, pack_segments
+
+    segs = pack_segments(d, "doc_id", "n_tok", max_len=16, part_col="part", n_chunks=3)
+    packs = assemble_packs(df, segs, "toks", "doc_id", part_col="part")
+    got = {(r["part"], r["pack_id"]): list(r["tokens"]) for r in packs.collect()}
+    # naive oracle
+    naive = {}
+    for part in ("p0", "p1"):
+        stream = []
+        for r in sorted(rows, key=lambda x: x[0]):
+            if r[1] == part:
+                stream.extend(r[2])
+        for pid in range(0, (len(stream) + 15) // 16):
+            naive[(part, pid)] = stream[pid * 16 : (pid + 1) * 16]
+    assert got == naive
+    # every pack except the last is exactly max_len
+    for (part, pid), toks in got.items():
+        last = max(p for q, p in got if q == part)
+        assert len(toks) == 16 or pid == last
