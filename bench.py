@@ -276,12 +276,22 @@ def main():
         flagship_pipeline(spark, data_dir).write.mode("overwrite").parquet(out_dir)
         results["flagship_sink"] = time.time() - t0
         n_feature_rows = spark.read.parquet(out_dir).count()
+    # flagship noop: median of FLAGSHIP_RUNS timed executions (warmup already
+    # done above). One-shot timing published a 2.4x phantom regression in r2
+    # on this noise-prone host; CPU-s is still reported for the whole block
+    # divided by runs (the noise-robust quantity).
+    n_runs = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_RUNS", "1" if flagship_only else "3"))
     jvm = _jvm_pids()
     cpu0 = _jvm_cpu_s(jvm)
-    t0 = time.time()
-    flagship_pipeline(spark, data_dir).write.format("noop").mode("overwrite").save()
-    results["flagship_noop"] = time.time() - t0
-    flagship_cpu_s = round(_jvm_cpu_s(jvm) - cpu0, 2)
+    walls = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        flagship_pipeline(spark, data_dir).write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
+    import statistics
+
+    results["flagship_noop"] = statistics.median(walls)
+    flagship_cpu_s = round((_jvm_cpu_s(jvm) - cpu0) / n_runs, 2)
     rows_per_sec = n_feature_rows / results["flagship_noop"]
 
     if not flagship_only:

@@ -592,6 +592,56 @@ def test_streaming_stateful_totals(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_stateful_totals_multibatch_drain(spark, sf_dir, tmp_path):
+    """Update mode emits one running-totals row per touched key per
+    micro-batch; the query-layer drain (max_by on strictly-increasing
+    n_events) must recover the exact final totals under FORCED multi-batch
+    execution — the determinism contract VERDICT r2 asked to pin."""
+    import pandas as pd
+
+    from marmot_spark.streaming.stream import streaming_stateful_totals
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "ev_multibatch"
+    d.mkdir()
+    third = len(ev) // 3
+    for i in range(3):
+        ev.iloc[i * third : (i + 1) * third if i < 2 else len(ev)].to_parquet(
+            d / f"part{i}.parquet", index=False
+        )
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(str(d))
+    )
+    q = (
+        streaming_stateful_totals(src)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("state_mb").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sink = spark.table("state_mb")
+    n_users = sink.select("user_id").distinct().count()
+    assert sink.count() > n_users  # genuinely multiple updates per key
+    got = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n"),
+            F.max_by("sum_value", "n_events").alias("s"),
+        )
+        .collect()
+    }
+    batch = spark.read.parquet(str(d))
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_pipeline_compiler_equals_direct_ops(spark, fixture_dir):
     """compile_pipeline must produce the same frame as composing ops by hand
     (it is the §2.10 extension surface — pure metadata folded into one plan)."""

@@ -162,3 +162,43 @@ def test_flagship_has_no_python_udfs(spark):
     plan = plan_of(bench.flagship_pipeline(spark, bench._bench_data()), "simple")
     for marker in ["BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"]:
         assert marker not in plan, marker
+
+
+def test_pack_segments_plan_is_parallel(spark, sf_dir):
+    """The packing cumsum must partition by (part, chunk) — never a
+    SinglePartition exchange (which the naive whole-part window would emit
+    for each part at scale); the segment fan-out stays in the same stage
+    (no exchange between the window and the generate)."""
+    from marmot_spark.operators.packing import pack_segments
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+    plan = plan_of(pack_segments(d, "doc_id", "n_tok", 128, "lang", n_chunks=4))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan  # (part, chunk) keyed exchange
+    assert "Generate" in plan  # the inline() segment fan-out
+
+
+def test_split_and_mixture_are_narrow(spark, sf_dir):
+    """Split assignment and mixture sampling are pure projections/filters —
+    zero exchanges at any scale."""
+    from marmot_spark.functions.splits import mixture_sample, split_assign
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    assert "Exchange" not in plan_of(split_assign(d))
+    assert "Exchange" not in plan_of(
+        mixture_sample(d, {"src0": 5000}, default_bps=2500)
+    )
+
+
+def test_contamination_plan_shape(spark, sf_dir):
+    """The contamination join must key on the int64 shingle hash (both
+    aggregations partial — no SinglePartition anywhere), and the shingle
+    computation itself must not shuffle the token arrays."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["contamination_check"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(sh" in plan
