@@ -62,21 +62,32 @@ _MATCH_TS = "__asof_match_ts"
 
 
 def detect_hot_keys(df: DataFrame, key: str, threshold: float = 0.05, sample_fraction: float | None = None) -> list:
-    """Keys owning more than ``threshold`` of rows (sampled scan, one agg).
+    """Keys owning more than ``threshold`` of rows — ONE plan-build job.
 
-    NOTE: runs two small Spark jobs (count + filtered collect) at PLAN-BUILD
-    time — so ``asof_join(auto_salt=True)`` pays them before the main job
-    starts, and they re-execute ``df``'s upstream plan. For repeated or
-    derived inputs, detect once on the cheapest equivalent frame (e.g. the
-    raw scan) and pass ``hot_keys=`` explicitly, as the flagship does with
-    its single plan-build collect.
+    NOTE: ``asof_join(auto_salt=True)`` pays this job before the main job
+    starts, and it executes ``df``'s upstream plan once (the total rides the
+    grouped counts via a reused exchange — no second scan). For repeated or
+    derived inputs it is still cheaper to detect once on the rawest
+    equivalent frame and pass ``hot_keys=`` explicitly, as the flagship does
+    with its single plan-build collect.
     """
     src = df.sample(sample_fraction) if sample_fraction else df
     counts = src.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
-    total = src.count()
-    if total == 0:
-        return []
-    rows = counts.filter(F.col("__c") >= threshold * total).select(key).collect()
+    # ONE job: the total is an aggregate OVER the grouped counts, joined back
+    # as a broadcast scalar — Catalyst reuses the counts exchange
+    # (ReusedExchange, pinned by test_plan_audit), so the upstream plan is
+    # scanned once instead of twice (count + filtered collect). The filter is
+    # distributed and returns <= 1/threshold keys by construction.
+    total = F.broadcast(
+        counts.agg(F.sum("__c").alias("__t")).withColumn("__j", F.lit(0))
+    )
+    rows = (
+        counts.withColumn("__j", F.lit(0))
+        .join(total, "__j")
+        .filter(F.col("__c") >= F.lit(float(threshold)) * F.col("__t"))
+        .select(key)
+        .collect()
+    )
     return [r[0] for r in rows]
 
 
