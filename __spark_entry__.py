@@ -1779,6 +1779,22 @@ GROUP BY te.doc_id
 """
 
 
+def _q_bpe_train(spark, sf):
+    """Distributed BPE merge training over the documents' token-id sequences
+    (6 rounds): returns the ordered merge table. Iterative (per-round
+    pair-count aggregation + columnar HOF rewrite) — not SQL-expressible, so
+    no oracle_sql entry: the driver records the rows-only check; exact parity
+    with a pure-python BPE reference is pinned by
+    tests/test_token_pipeline.py::test_bpe_train_matches_reference."""
+    from marmot_spark.operators.bpe import train_bpe_merges
+
+    merges = train_bpe_merges(_docs(spark, sf), "tokens", n_merges=6, new_id_base=1_000_000)
+    return spark.createDataFrame(
+        [(m["rank"], m["a"], m["b"], m["new_id"], m["cnt"]) for m in merges],
+        "rank int, a int, b int, new_id int, cnt long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -1839,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "text_repetition": _q_text_repetition,
         "contamination_check": _q_contamination_check,
+        "bpe_train": _q_bpe_train,
     }
 
 

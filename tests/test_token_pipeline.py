@@ -192,3 +192,71 @@ def test_assemble_packs_equals_naive_concat(spark):
     for (part, pid), toks in got.items():
         last = max(p for q, p in got if q == part)
         assert len(toks) == 16 or pid == last
+
+
+def _ref_bpe(seqs, n_merges, base, min_count=2):
+    """Pure-python BPE reference: same tie-break and greedy-fold semantics."""
+    from collections import Counter
+
+    seqs = [list(s) for s in seqs]
+    merges = []
+    for rank in range(n_merges):
+        c = Counter()
+        for s in seqs:
+            for x, y in zip(s, s[1:]):
+                c[(x, y)] += 1
+        if not c:
+            break
+        (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        nid = base + rank
+        merges.append({"rank": rank, "a": a, "b": b, "new_id": nid, "cnt": cnt})
+        nxt = []
+        for s in seqs:
+            out, pend = [], None
+            for t in s:
+                if pend == a and t == b:
+                    out.append(nid)
+                    pend = None
+                elif pend is None:
+                    pend = t
+                else:
+                    out.append(pend)
+                    pend = t
+            if pend is not None:
+                out.append(pend)
+            nxt.append(out)
+        seqs = nxt
+    return merges, seqs
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training = the pure-python reference on random
+    sequences: same merge table (order, ids, counts) and same encoded
+    corpus; overlapping runs merge disjointly."""
+    import random
+
+    from marmot_spark.operators.bpe import bpe_encode, train_bpe_merges
+
+    rng = random.Random(13)
+    seqs = [[rng.randrange(6) for _ in range(rng.randrange(1, 15))] for _ in range(80)]
+    seqs.append([1, 1, 1, 1, 1])  # overlapping-run case
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)], "id long, tokens array<int>")
+
+    got = train_bpe_merges(df, "tokens", n_merges=6, new_id_base=100)
+    want, want_seqs = _ref_bpe(seqs, 6, 100)
+    assert got == want
+
+    enc = {r["id"]: list(r["tokens"]) for r in bpe_encode(df, got).collect()}
+    assert enc == {i: s for i, s in enumerate(want_seqs)}
+
+    # overlapping run: [1,1,1,1,1] under a (1,1) merge fuses disjointly
+    if want and want[0]["a"] == want[0]["b"] == 1:
+        assert enc[len(seqs) - 1][:2] == [want[0]["new_id"], want[0]["new_id"]]
+
+    # early stop: all-unique corpus yields no merges
+    uniq = spark.createDataFrame(
+        [(0, list(range(10)))], "id long, tokens array<int>"
+    )
+    assert train_bpe_merges(uniq, "tokens", n_merges=3, new_id_base=100) == []
