@@ -68,6 +68,11 @@ def pack_segments(
                 .agg(F.min(order_key).alias("mn"), F.max(order_key).alias("mx"))
                 .collect()
             }
+        if any(p is None for p in bounds):
+            raise ValueError(
+                f"pack_segments: part_col {part!r} contains NULLs — null parts "
+                "cannot be keyed in the chunk-offset lookup; filter or fill them"
+            )
         if len(bounds) * n_chunks > MAX_DRIVER_CELLS:
             raise ValueError(
                 f"{len(bounds)} parts x {n_chunks} chunks exceeds {MAX_DRIVER_CELLS} "

@@ -260,3 +260,49 @@ def test_bpe_train_matches_reference(spark):
         [(0, list(range(10)))], "id long, tokens array<int>"
     )
     assert train_bpe_merges(uniq, "tokens", n_merges=3, new_id_base=100) == []
+
+
+def test_pack_segments_property_random(spark):
+    """Property check vs a pure-python prefix-sum model over randomized doc
+    streams (multiple shapes in ONE Spark round-trip: varied lengths, single
+    doc, doc longer than several packs)."""
+    import random
+
+    rng = random.Random(23)
+    cases = []
+    for case in range(6):
+        n = rng.randrange(1, 30)
+        L = rng.choice([4, 16, 64])
+        docs = [(i, rng.randrange(1, 5 * L)) for i in range(n)]
+        cases.append((case, L, docs))
+    rows = [
+        (case, L, doc_id, n_tok) for case, L, docs in cases for doc_id, n_tok in docs
+    ]
+    df = spark.createDataFrame(rows, "case int, L int, doc_id long, n_tok int")
+    for case, L, docs in cases:
+        sub = df.filter((F.col("case") == case)).drop("case", "L")
+        got = sorted(
+            tuple(r)
+            for r in pack_segments(
+                sub, "doc_id", "n_tok", L, n_chunks=rng.choice([1, 3])
+            ).collect()
+        )
+        # python model
+        want = []
+        off = 0
+        for doc_id, n_tok in sorted(docs):
+            for pid in range(off // L, (off + n_tok - 1) // L + 1):
+                s = max(pid * L - off, 0)
+                e = min((pid + 1) * L, off + n_tok) - max(pid * L, off)
+                want.append((doc_id, pid, s, e, max(pid * L, off) - pid * L))
+            off += n_tok
+        assert got == sorted(want), f"case {case} L={L}"
+
+    # null part guard
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(None, 1, 5), ("p", 2, 5)], "part string, doc_id long, n_tok int"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        pack_segments(bad, "doc_id", "n_tok", 8, "part", n_chunks=2)
