@@ -308,6 +308,33 @@ FROM ({_SQL_J2})
 """
 
 
+def _q_j2_asof_forward(spark, sf):
+    """J2 dual: FORWARD as-of — for each event, the NEXT error at or after
+    it (pandas merge_asof direction='forward'), via time reflection through
+    the backward kernel. Oracle: DuckDB ASOF with `e.ts <= l.err_ts`."""
+    from marmot_spark.operators.asof import asof_join_forward
+
+    out = asof_join_forward(
+        _events(spark, sf), _errors(spark, sf), on="user_id", left_ts="ts",
+        right_ts="err_ts", payload=["err_value_c"], tie_break="err_event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("matched_ts").alias("err_ts_us"), "err_value_c",
+    )
+
+
+_SQL_J2_FWD = f"""
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+  epoch_us(l.err_ts) AS err_ts_us, l.err_value_c
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS err_ts, {_CENTS_SQL.format(c='value')} AS err_value_c
+  FROM events WHERE event_type = 'error'
+) l ON e.user_id = l.user_id AND e.ts <= l.err_ts
+"""
+
+
 def _q_j2_asof_merge(spark, sf):
     """J2 via the EXPLICIT Arrow merge kernel (strategy='merge'):
     co-partitioned sortWithinPartitions + vectorized grouped forward-fill in
@@ -1779,6 +1806,58 @@ GROUP BY te.doc_id
 """
 
 
+def _q_quality_filter(spark, sf):
+    """Composite C4/Gopher-style keep/drop decision per document with
+    per-rule reason flags (too_short, high_punct, low_stopword,
+    high_repetition) — the realistic pre-training filter: one narrow
+    codegen-fused projection composing quality_cols + repetition_cols, no
+    shuffle, pushes to the scan at any scale."""
+    from marmot_spark.functions.text import quality_cols, repetition_cols
+
+    d = _tbl(spark, sf, "documents")
+    q = quality_cols("text")
+    r = repetition_cols("text")
+    n_tok = F.size(F.split("text", " "))
+    too_short = (n_tok < 5).cast("int")
+    high_punct = (q["punct_ratio_ppm"] > 100_000).cast("int")
+    low_stop = (q["stop_ratio_ppm"] < 10_000).cast("int")
+    high_rep = (r["dup_3gram_ppm"] > 100_000).cast("int")
+    keep = (
+        (too_short == 0) & (high_punct == 0) & (low_stop == 0) & (high_rep == 0)
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        too_short.alias("f_too_short"),
+        high_punct.alias("f_high_punct"),
+        low_stop.alias("f_low_stopword"),
+        high_rep.alias("f_high_repetition"),
+        keep.alias("keep"),
+    )
+
+
+def _sql_quality_filter() -> str:
+    n_tok = "len(string_split(text, ' '))"
+    punct = (
+        "floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+        f" * 1000000 / greatest(length(text), 1))"
+    )
+    stop = (
+        f"floor(len(list_filter(string_split(text, ' '), x -> x IN {_in_list_sql(STOPWORDS)}))"
+        f" * 1000000 / {n_tok})"
+    )
+    rep3 = _rep_sql(3)
+    return f"""
+SELECT doc_id,
+  CAST({n_tok} < 5 AS INT) AS f_too_short,
+  CAST({punct} > 100000 AS INT) AS f_high_punct,
+  CAST({stop} < 10000 AS INT) AS f_low_stopword,
+  CAST({rep3} > 100000 AS INT) AS f_high_repetition,
+  CAST(({n_tok} >= 5) AND ({punct} <= 100000) AND ({stop} >= 10000)
+       AND ({rep3} <= 100000) AS INT) AS keep
+FROM documents
+"""
+
+
 def _q_bpe_train(spark, sf):
     """Distributed BPE merge training over the documents' token-id sequences
     (6 rounds): returns the ordered merge table. Iterative (per-round
@@ -1804,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_asof_backfill": _q_j2_asof_backfill,
         "j2_asof_tolerance": _q_j2_asof_tolerance,
         "j2_asof_merge": _q_j2_asof_merge,
+        "j2_asof_forward": _q_j2_asof_forward,
         "a4_rolling_chunked": _q_a4_rolling_chunked,
         "w6_sessionize_chunked": _q_w6_sessionize_chunked,
         "text_rarity_score": _q_text_rarity_score,
@@ -1856,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "contamination_check": _q_contamination_check,
         "bpe_train": _q_bpe_train,
+        "quality_filter": _q_quality_filter,
     }
 
 
@@ -1868,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "j2_asof_backfill": _SQL_J2,
         "j2_asof_tolerance": _SQL_J2_TOL,
         "j2_asof_merge": _SQL_J2,
+        "j2_asof_forward": _SQL_J2_FWD,
         "a4_rolling_chunked": _SQL_A4_CHUNKED,
         "w6_sessionize_chunked": _SQL_W6_CHUNKED,
         "text_rarity_score": _SQL_RARITY,
@@ -1923,4 +2005,5 @@ FROM events GROUP BY user_id
         "pack_sequences": _SQL_PACK,
         "text_repetition": _sql_text_repetition(),
         "contamination_check": _sql_contamination_check(),
+        "quality_filter": _sql_quality_filter(),
     }

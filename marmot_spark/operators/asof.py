@@ -399,3 +399,50 @@ def _merge_kernel(merged: DataFrame, keys: list[str], payload: Sequence[str], nu
             yield pdf[pdf[_SIDE] == 1]
 
     return part.mapInPandas(ffill_partition, schema=schema)
+
+
+# 2100-01-01 UTC in micros: reversal pivot keeping reflected instants inside
+# Spark's valid timestamp range for any realistic event time
+_FWD_PIVOT_US = 4_102_444_800_000_000
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tie_break: str | None = None,
+    tolerance_us: int | None = None,
+    strategy: str = "window",
+    hot_keys: Sequence | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """FORWARD as-of join: for each left row, the EARLIEST right row with
+    ``right_ts >= left_ts`` (pandas merge_asof direction='forward'; the
+    backfill dual — e.g. "next label after this observation").
+
+    Implemented by time reflection: both sides map ts -> PIVOT - ts and run
+    through the backward kernel — every backward property (strategies,
+    tolerance, hash salting, null handling, struct-packed payload) carries
+    over unchanged, because reflection is an order-reversing isometry of the
+    time line. ``matched_ts`` is reflected back to the original instant.
+    Ties at identical right_ts resolve by MAX ``tie_break`` (same rule as
+    backward). Range-mode hot salting (`hot_salt_mode='range'`) is not
+    exposed here — its per-key bounds are stated in original time; hash
+    salting covers the skew case.
+    """
+    left = ntz_to_ts(left, left_ts)
+    right = ntz_to_ts(right, right_ts)
+    piv = F.lit(_FWD_PIVOT_US)
+    l2 = left.withColumn("__rev_lts", F.timestamp_micros(piv - F.unix_micros(F.col(left_ts))))
+    r2 = right.withColumn("__rev_rts", F.timestamp_micros(piv - F.unix_micros(F.col(right_ts)))).drop(right_ts)
+    out = asof_join(
+        l2, r2, on=on, left_ts="__rev_lts", right_ts="__rev_rts",
+        payload=payload, tie_break=tie_break, tolerance_us=tolerance_us,
+        strategy=strategy, hot_keys=hot_keys, n_salts=n_salts,
+    )
+    return out.withColumn(
+        "matched_ts", F.timestamp_micros(piv - F.unix_micros(F.col("matched_ts")))
+    ).drop("__rev_lts")

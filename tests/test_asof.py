@@ -249,3 +249,51 @@ def test_range_salting_guards(spark, fixture_dir):
     with pytest.raises(ValueError, match="single join key"):
         asof_join(seqs, labels, on=["doc_id", "source"], left_ts="seq_ts", right_ts="label_ts",
                   payload=["score"], hot_keys=["d00000000"], hot_salt_mode="range")
+
+
+def test_asof_forward_matches_pandas(spark, fixture_dir):
+    """asof_join_forward == pandas merge_asof(direction='forward') on the
+    seeded fixtures, for both strategies and with a tolerance."""
+    import pandas as pd
+
+    from marmot_spark.operators.asof import asof_join_forward
+
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet").select(
+        "doc_id", "seq_ts"
+    )
+    labels = spark.read.parquet(f"{fixture_dir}/labels.parquet").select(
+        "doc_id", "label_ts", "label_seq", F.col("score").alias("score")
+    )
+    lp = labels.toPandas().sort_values(["label_ts", "label_seq"])
+    # pandas forward picks the first match; our tie rule is MAX tie_break at
+    # equal ts — feed pandas the ties sorted so the max-label_seq row wins
+    lp = (
+        lp.sort_values(["doc_id", "label_ts", "label_seq"])
+        .groupby(["doc_id", "label_ts"], as_index=False)
+        .last()
+    )
+    sp = seqs.toPandas().sort_values(["seq_ts", "doc_id"]).reset_index(drop=True)
+    for kwargs in ({"strategy": "window"}, {"strategy": "merge"},
+                   {"strategy": "window", "tolerance_us": 3_600_000_000}):
+        got = (
+            asof_join_forward(
+                seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+                payload=["score"], tie_break="label_seq", **kwargs,
+            )
+            .select("doc_id", "seq_ts", "score")
+            .toPandas()
+            .sort_values(["seq_ts", "doc_id"])
+            .reset_index(drop=True)
+        )
+        tol = kwargs.get("tolerance_us")
+        want = pd.merge_asof(
+            sp.sort_values("seq_ts"),
+            lp.sort_values("label_ts")[["doc_id", "label_ts", "score"]],
+            left_on="seq_ts", right_on="label_ts", by="doc_id",
+            direction="forward",
+            **({"tolerance": pd.Timedelta(microseconds=tol)} if tol else {}),
+        ).sort_values(["seq_ts", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["score"].astype(float), want["score"].astype(float),
+            check_names=False,
+        )
