@@ -1860,10 +1860,11 @@ FROM documents
 
 def _q_bpe_train(spark, sf):
     """Distributed BPE merge training over the documents' token-id sequences
-    (6 rounds): returns the ordered merge table. Iterative (per-round
-    pair-count aggregation + columnar HOF rewrite) — not SQL-expressible, so
-    no oracle_sql entry: the driver records the rows-only check; exact parity
-    with a pure-python BPE reference is pinned by
+    (6 rounds): returns the ordered merge table. Although iterative, the
+    FIXED merge budget lets the oracle unroll the rounds as chained CTEs
+    (`_sql_bpe_train` — windowed greedy-merge rewrite per round), so even
+    this query is exactly DuckDB-verified; python-reference parity is
+    additionally pinned by
     tests/test_token_pipeline.py::test_bpe_train_matches_reference."""
     from marmot_spark.operators.bpe import train_bpe_merges
 
@@ -1872,6 +1873,72 @@ def _q_bpe_train(spark, sf):
         [(m["rank"], m["a"], m["b"], m["new_id"], m["cnt"]) for m in merges],
         "rank int, a int, b int, new_id int, cnt long",
     )
+
+
+def _sql_bpe_train(n_merges: int = 6, base: int = 1_000_000, min_count: int = 2) -> str:
+    """Exact DuckDB mirror of train_bpe_merges: the fixed merge budget is
+    UNROLLED as chained CTEs (one per round). Greedy left-to-right merge
+    application is expressed with windows instead of a fold: for a != b,
+    adjacent matches are provably disjoint (a match at i+1 would need
+    tok[i+1] = a AND b simultaneously), so every (a, b) site merges; for
+    a == b, a gaps-and-islands run offset gives the within-run parity and
+    even offsets start merges. A consumed position is exactly one whose
+    predecessor started a merge. Tie-break = struct-min over
+    (-cnt, a, b); early stop = an `act` flag that latches false once the
+    best count drops below min_count."""
+    parts = [f"WITH {DOCS_T},", "s0 AS (SELECT doc_id AS id, tokens AS tk FROM docs_t)"]
+    for k in range(n_merges):
+        prev_act = f" AND (SELECT act FROM m{k-1})" if k > 0 else ""
+        parts.append(f""",
+p{k} AS (
+  SELECT tk[CAST(u.i AS INT)+1] AS a, tk[CAST(u.i AS INT)+2] AS b
+  FROM s{k}, UNNEST(range(length(tk)-1)) AS u(i)
+),
+b{k} AS (
+  SELECT min(struct_pack(c := -cnt, a := a, b := b)) AS m
+  FROM (SELECT a, b, count(*) AS cnt FROM p{k} GROUP BY a, b)
+),
+m{k} AS (
+  SELECT struct_extract(m, 'a') AS a, struct_extract(m, 'b') AS b,
+    CAST(-struct_extract(m, 'c') AS BIGINT) AS cnt,
+    CAST({base} + {k} AS INT) AS nid,
+    (COALESCE(-struct_extract(m, 'c') >= {min_count}, FALSE){prev_act}) AS act
+  FROM b{k}
+),
+e{k} AS (
+  SELECT s.id, CAST(u.i AS INT) AS pos, s.tk[CAST(u.i AS INT)+1] AS tok,
+    m.a, m.b, m.nid, m.act
+  FROM s{k} s, m{k} m, UNNEST(range(length(s.tk))) AS u(i)
+),
+w{k} AS (
+  SELECT *, lead(tok) OVER (PARTITION BY id ORDER BY pos) AS nxt,
+    pos - ROW_NUMBER() OVER (PARTITION BY id, tok = a ORDER BY pos) AS rid
+  FROM e{k}
+),
+x{k} AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, tok = a, rid ORDER BY pos) - 1 AS runoff
+  FROM w{k}
+),
+y{k} AS (
+  SELECT *, (act AND CASE WHEN a = b THEN tok = a AND runoff % 2 = 0 AND nxt = b
+                          ELSE tok = a AND nxt = b END) AS strt
+  FROM x{k}
+),
+z{k} AS (
+  SELECT *, COALESCE(lag(strt) OVER (PARTITION BY id ORDER BY pos), FALSE) AS consumed
+  FROM y{k}
+),
+s{k+1} AS (
+  SELECT id, list(CASE WHEN strt THEN nid ELSE tok END ORDER BY pos)
+             FILTER (WHERE NOT consumed) AS tk
+  FROM z{k} GROUP BY id
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS rank, CAST(a AS INT) AS a, CAST(b AS INT) AS b, "
+        f"nid AS new_id, cnt FROM m{k} WHERE act"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n" + unions
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2006,4 +2073,5 @@ FROM events GROUP BY user_id
         "text_repetition": _sql_text_repetition(),
         "contamination_check": _sql_contamination_check(),
         "quality_filter": _sql_quality_filter(),
+        "bpe_train": _sql_bpe_train(),
     }
