@@ -118,6 +118,36 @@ def _cents(c) -> F.Column:
     return F.floor(F.col(c).cast("double") * 100 + F.lit(0.5)).cast("long")
 
 
+def _fresh_tmpdir(key: str, sf: str) -> str:
+    """Per-(query, sf, pid) scratch dir under /tmp, reaped across runs.
+
+    The pid suffix prevents two concurrent driver runs from rmtree-ing each
+    other; that alone would leak one dir per run forever, so before creating
+    our own dir we glob-remove stale SIBLINGS (same key+sf, other pids) whose
+    mtime is >1 h old — old enough that no live driver run can own them. The
+    dir must outlive this function (the returned DataFrame is collected by
+    the caller later), so cleanup-on-exit is not an option here.
+    """
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    stem = f"{key}_{os.getuid()}_{hashlib.sha1(sf.encode()).hexdigest()[:12]}"
+    d = os.path.join(tempfile.gettempdir(), f"{stem}_{os.getpid()}")
+    now = time.time()
+    for sib in glob.glob(os.path.join(tempfile.gettempdir(), f"{stem}_*")):
+        try:
+            if sib == d or now - os.path.getmtime(sib) > 3600:
+                shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            pass
+    os.makedirs(d)
+    return d
+
+
 _CENTS_SQL = "CAST(floor(CAST({c} AS DOUBLE)*100 + 0.5) AS BIGINT)"
 
 # shingle of k consecutive token ids as one int hash (fold, mod P31) — SQL form
@@ -414,12 +444,18 @@ FROM (
 def _q_text_rarity_score(spark, sf):
     """Rarity-based quality signal (LLM-pipeline filter): global frequency
     rank per token id (1 = most frequent; ties by token id), then per-doc
-    sum and max of ranks. Integer-exact; the dict broadcasts."""
+    sum and max of ranks. Integer-exact. The rank is computed by the
+    DISTRIBUTED exact dense-rank (operators/rank.py) — a naive
+    row_number().over(Window.orderBy(...)) would plan as an Exchange
+    SinglePartition sort of the whole vocabulary through one task (banned
+    plan-wide by tests/test_plan_audit.py). The vocab->rank dict broadcasts
+    back to the exploded tokens (vocabulary-sized, not corpus-sized)."""
+    from marmot_spark.operators.rank import frequency_rank
+
     docs = _docs(spark, sf)
     ex = explode_tokens(docs, keep=["doc_id"])
     counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    ranks = counts.withColumn("rank", F.row_number().over(w).cast("long")).select("tok", "rank")
+    ranks = frequency_rank(counts, id_col="tok", cnt_col="cnt", out_col="rank")
     return (
         ex.join(F.broadcast(ranks), "tok")
         .groupBy("doc_id")
@@ -585,11 +621,19 @@ SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM docs_e GROUP BY lang, tok
 
 
 def _q_a3_label_distribution(spark, sf):
+    """Label share per event_type. The grand total rides a broadcast 1-row
+    aggregate joined back (detect_hot_keys pattern) — not a sum() OVER ()
+    window, whose Exchange SinglePartition would funnel the grouped frame
+    through one task at a large label domain (banned by the plan audit)."""
     ev = _events(spark, sf).groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    total = Window.partitionBy()
-    return ev.select(
-        "event_type", "cnt",
-        F.floor(F.col("cnt") * 1_000_000 / F.sum("cnt").over(total)).cast("long").alias("share_ppm"),
+    tot = F.broadcast(ev.agg(F.sum("cnt").alias("__t")).withColumn("__j", F.lit(0)))
+    return (
+        ev.withColumn("__j", F.lit(0))
+        .join(tot, "__j")
+        .select(
+            "event_type", "cnt",
+            F.floor(F.col("cnt") * 1_000_000 / F.col("__t")).cast("long").alias("share_ppm"),
+        )
     )
 
 
@@ -972,7 +1016,13 @@ FROM docs_t
 
 
 def _q_dedup_simhash_hamming(spark, sf):
-    return simhash_hamming_pairs(_docs(spark, sf), "doc_id", "tokens", bits=16, max_hamming=2)
+    # bits=16 + max_bucket=None: the EXACT variant the quadratic SQL oracle
+    # can mirror (16-bit simhash is SQL-expressible; the cap would make the
+    # output banding-dependent). Production default is bits=64 + capped
+    # buckets — guardrails pinned by tests/test_ops_surface.py.
+    return simhash_hamming_pairs(
+        _docs(spark, sf), "doc_id", "tokens", bits=16, max_hamming=2, max_bucket=None
+    )
 
 
 def _sql_simhash_hamming() -> str:
@@ -1417,24 +1467,13 @@ def _q_streaming_late_data(spark, sf):
     even though its end precedes wm_final — the observable proof of the drop.
     """
     import os
-    import shutil
-    import tempfile
 
     import pandas as pd
 
     ev_pd = pd.read_parquet(f"{sf}/events.parquet")
     cutoff = ev_pd["ts"].min() + pd.Timedelta(days=10)
     mx = ev_pd["ts"].max()
-    import hashlib
-
-    # stable digest (PYTHONHASHSEED-proof, so reruns reuse/clean the same dir)
-    # + pid so two concurrent runs on the same sf cannot rmtree each other
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"stream_late_{os.getuid()}_{hashlib.sha1(sf.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
+    d = _fresh_tmpdir("stream_late", sf)
     a = ev_pd[(ev_pd["ts"] >= cutoff) & (ev_pd["ts"] < mx)]
     b = ev_pd[ev_pd["ts"] == mx]
     c = ev_pd[ev_pd["ts"] < cutoff]
@@ -1608,21 +1647,12 @@ def _q_checkpoint_lineage(spark, sf):
     manifests' lineage totals. The oracle recomputes all of it from the raw
     table, so a green hash proves (a) bucketed checkpoint output round-trips
     storage exactly and (b) manifest input/output_rows lineage is truthful."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from marmot_spark.checkpoint import CheckpointedJob
 
     ev = _events(spark, sf).select(
         "user_id", "event_id", "event_type", _cents("value").alias("value_c")
     )
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"ckpt_lineage_{os.getuid()}_{hashlib.sha1(sf.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
-    shutil.rmtree(d, ignore_errors=True)
+    d = _fresh_tmpdir("ckpt_lineage", sf)
     job = CheckpointedJob(d, "lineage_q", snapshot_id=1, n_buckets=8)
     job.run(
         ev,
@@ -1757,7 +1787,7 @@ def _q_text_repetition(spark, sf):
 def _rep_sql(k: int) -> str:
     g = (
         f"list_transform(range(length(string_split(text,' ')) - {k - 1}), i -> "
-        f"array_to_string(list_slice(string_split(text,' '), CAST(i+1 AS INT), CAST(i+{k} AS INT)), ''))"
+        f"array_to_string(list_slice(string_split(text,' '), CAST(i+1 AS INT), CAST(i+{k} AS INT)), ' '))"
     )
     return (
         f"CASE WHEN length(string_split(text,' ')) >= {k} THEN "

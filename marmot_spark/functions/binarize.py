@@ -13,7 +13,7 @@ The one-hot is an array<double> so downstream numpy comparison is direct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -23,30 +23,41 @@ MAX_VOCAB = 100_000  # one-hot width / single-task-sort / broadcast ceiling
 def fit_vocab(df: DataFrame, col: str, max_vocab: int = MAX_VOCAB) -> DataFrame:
     """(value, idx) vocabulary: sorted distinct values, idx 0..V-1.
 
-    The single-partition window is fine for CATEGORICAL domains — and only
-    those: fitting a high-cardinality column (a doc_id by mistake) would be
-    a one-task global sort plus a giant broadcast, a silent scale-killer.
-    Guarded: raises above ``max_vocab`` distinct values (the check is a
-    bounded ``limit(max_vocab+1).count()``, so it never aggregates the full
-    domain just to fail). Mirrors the 64-entity chunk-bounds guard in
-    operators/windows.py.
+    Only valid for CATEGORICAL domains: fitting a high-cardinality column
+    (a doc_id by mistake) would need a >max_vocab-wide one-hot and a giant
+    broadcast, a silent scale-killer. Guarded: raises above ``max_vocab``
+    distinct values (the check is a bounded ``limit(max_vocab+1).count()``,
+    so it never aggregates the full domain just to fail). Mirrors the
+    64-entity chunk-bounds guard in operators/windows.py.
+
+    The guarded bound also lets the SORT happen on the driver over the
+    collected distinct values (<= max_vocab rows of plan metadata — the
+    same bounded-collect pattern as packing's base offsets) instead of a
+    ``Window.orderBy`` global rank, whose ``Exchange SinglePartition`` is
+    banned plan-wide by tests/test_plan_audit.py. The distributed part —
+    the distinct over the full data — stays a normal hash aggregation.
     """
     distinct = (
         df.select(F.col(col).alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
     )
-    n = distinct.limit(max_vocab + 1).count()
-    if n > max_vocab:
+    rows = distinct.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
         raise ValueError(
             f"fit_vocab({col!r}): more than {max_vocab} distinct values — this is "
             "not a categorical domain; one-hot binarization would need a "
-            f">{max_vocab}-wide array, a single-task global sort, and a giant "
-            "broadcast. Use hashing/embedding features instead, or raise max_vocab "
-            "explicitly if the domain really is categorical."
+            f">{max_vocab}-wide array and a giant broadcast. Use hashing/embedding "
+            "features instead, or raise max_vocab explicitly if the domain really "
+            "is categorical."
         )
-    w = Window.orderBy(F.col("value").asc())
-    return distinct.withColumn("idx", F.row_number().over(w) - 1)
+    from pyspark.sql import types as T
+
+    values = sorted(r["value"] for r in rows)
+    schema = distinct.schema.add("idx", T.IntegerType())
+    return distinct.sparkSession.createDataFrame(
+        [(v, i) for i, v in enumerate(values)], schema=schema
+    )
 
 
 def binarize(

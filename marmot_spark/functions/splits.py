@@ -32,6 +32,13 @@ from marmot_spark.functions.text import FP_MOD, FP_MULT
 BPS = 10_000
 
 
+def _norm_seed(seed: int) -> int:
+    """Reduce the seed into [0, FP_MOD) non-negatively — a negative seed
+    would drive the fold accumulator negative, making every hash negative
+    so all rows compare < train_bps and silently land in 'train'."""
+    return int(seed) % FP_MOD
+
+
 def split_hash_col(id_col: str = "doc_id", seed: int = 0) -> Column:
     """Deterministic bucket in [0, BPS) from the stringified id.
 
@@ -48,7 +55,7 @@ def split_hash_col(id_col: str = "doc_id", seed: int = 0) -> Column:
     )
     h = F.aggregate(
         chars,
-        F.lit(int(seed)).cast("long"),
+        F.lit(_norm_seed(seed)).cast("long"),
         lambda acc, x: (acc * 31 + x) % F.lit(FP_MOD),
     )
     return ((h * F.lit(FP_MULT)) % F.lit(FP_MOD) % BPS).cast("int")
@@ -62,7 +69,7 @@ def split_hash_sql(id_col: str = "doc_id", seed: int = 0) -> str:
         f"CAST(ascii(substr({s}, CAST(i AS INT), 1))+1 AS BIGINT))"
     )
     return (
-        f"CAST((list_reduce(list_prepend(CAST({int(seed)} AS BIGINT), {chars}), "
+        f"CAST((list_reduce(list_prepend(CAST({_norm_seed(seed)} AS BIGINT), {chars}), "
         f"(acc, x) -> (acc * 31 + x) % {FP_MOD}) * {FP_MULT}) % {FP_MOD} % {BPS} AS INT)"
     )
 
@@ -81,6 +88,8 @@ def split_assign(
     a document never changes when the corpus grows (hash depends only on the
     id), which is what keeps eval sets stable across snapshot refreshes.
     """
+    if train_bps < 0 or val_bps < 0:
+        raise ValueError("train_bps and val_bps must each be >= 0")
     if not 0 <= train_bps + val_bps <= BPS:
         raise ValueError("train_bps + val_bps must be within [0, 10000]")
     h = split_hash_col(id_col, seed)

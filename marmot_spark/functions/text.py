@@ -90,7 +90,10 @@ def repetition_cols(text_col: str = "text") -> dict[str, Column]:
     def dup_ppm(k: int) -> Column:
         grams = F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), ""),
+            # join with a space (cannot appear inside a token, which came
+            # from splitting on spaces) so ['ab','c'] and ['a','bc'] stay
+            # distinct grams; mirrored exactly by _rep_sql in the oracle
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
         n_g = F.size(grams)
         n_d = F.size(F.array_distinct(grams))

@@ -146,18 +146,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_col(tokens_col: str, bits: int = 16) -> Column:
+def simhash_col(tokens_col: str, bits: int = 64) -> Column:
     """Array-side bit-majority simhash over int token ids (zero shuffle).
 
-    bit b of simhash = 1 iff strictly more than half the tokens have bit b set
-    in hash_0(token). Empty docs -> 0.
+    bit b of simhash = 1 iff strictly more than half the tokens have source
+    bit b set. The per-token hashes are mod P31 (31 usable bits), so source
+    bit b is bit (b % 31) of hash_{b // 31}(token) — bits 0..30 come from
+    hash_0 exactly as before (bit-compatible with the bits<=31 SQL oracles),
+    higher bits draw fresh entropy from hash_1, hash_2. Empty docs -> 0.
+
+    64 bits is the production default: a 16-bit fingerprint has only 2^16
+    values, so at corpus scale equal-fingerprint "near-dups" are mostly hash
+    coincidences and Hamming band buckets grow linearly with the corpus.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     toks = F.col(tokens_col)
     n = F.size(toks)
     out = F.lit(0).cast("long")
+
+    def bit_pred(b: int):
+        # one-arg closure: F.filter treats a two-arg lambda as (elem, index)
+        return lambda t: F.shiftright(_hash_k(t, b // 31), b % 31).bitwiseAND(F.lit(1)) == 1
+
     for b in range(bits):
-        ones = F.size(F.filter(toks, lambda t: F.shiftright(_hash_k(t, 0), b).bitwiseAND(F.lit(1)) == 1))
-        out = out + F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.size(F.filter(toks, bit_pred(b)))
+        # bit 63 is the sign bit of a signed int64: adding LONG_MIN sets it
+        weight = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        out = out + F.when(ones * 2 > n, weight).otherwise(F.lit(0).cast("long"))
     return F.when(n > 0, out).otherwise(F.lit(0).cast("long"))
 
 
@@ -165,17 +181,27 @@ def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
     tokens_col: str,
-    bits: int = 16,
+    bits: int = 64,
     max_hamming: int = 2,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
     Pigeonhole banding: split the fingerprint into (max_hamming+1) bands —
     any pair within Hamming d must agree EXACTLY on at least one band, so the
     band self-join finds every qualifying pair without an O(n^2) cross join;
-    candidates then verify with an exact popcount. Output is banding-
-    independent (pure semantics: ALL pairs with hamming <= max_hamming), so
-    the SQL oracle can be the naive quadratic filter.
+    candidates then verify with an exact popcount. With ``max_bucket=None``
+    the output is banding-independent (pure semantics: ALL pairs with
+    hamming <= max_hamming), so the SQL oracle can be the naive quadratic
+    filter.
+
+    Guardrails for corpus scale (mirroring ``minhash_lsh_pairs``):
+    ``bits=64`` by default — a narrow fingerprint (e.g. 16 bits) has so few
+    distinct band values (2^width per band) that buckets grow as O(n) and the
+    self-join as O(n^2) regardless of banding; and ``max_bucket`` drops band
+    buckets above the cap before the join (an oversized bucket at 64 bits
+    means a degenerate fingerprint — e.g. a boilerplate majority pattern —
+    not real candidates). Pass ``max_bucket=None`` for the exact variant.
     """
     n_bands = max_hamming + 1
     width = -(-bits // n_bands)  # ceil
@@ -191,6 +217,13 @@ def simhash_hamming_pairs(
     bands = s.select("id", "sh", F.explode(band_structs).alias("b")).select(
         "id", "sh", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
+    if max_bucket is not None:
+        wcnt = Window.partitionBy("band", "bv")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(wcnt))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bv")
     b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bv")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -83,9 +83,19 @@ def pack_segments(
         chunk_expr = F.lit(0)
         for p, (mn, mx) in bounds.items():
             span = max(1, (mx - mn + n_chunks) // n_chunks)
-            c = F.least(
-                F.lit(n_chunks - 1),
-                F.floor((F.col(order_key) - F.lit(mn)) / F.lit(span)).cast("int"),
+            # clamp BOTH ends: a caller-supplied bounds dict whose min
+            # overstates the true min would otherwise yield chunk -1, which
+            # the driver base-offset loop never covers (base 0 -> silent
+            # overlap with chunk 0). Clamping to 0 is monotone, so exactness
+            # is preserved when bounds are data-derived.
+            c = F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_chunks - 1),
+                    F.floor((F.col(order_key) - F.lit(mn)) / F.lit(span)).cast(
+                        "int"
+                    ),
+                ),
             )
             chunk_expr = F.when(F.col(part) == p, c).otherwise(chunk_expr)
         df = df.withColumn("__chunk", chunk_expr)

@@ -1,0 +1,108 @@
+"""Distributed exact dense ranking by frequency — the scale-safe replacement
+for ``row_number().over(Window.orderBy(...))``, which plans as an
+``Exchange SinglePartition`` + one-task sort of the whole frame (the classic
+Spark global-rank trap: fine at 10^3 rows, a stop-the-world bottleneck at a
+real 10^7-token vocabulary).
+
+Semantics (identical to the naive global window):
+
+    rank(id) = row_number ordered by (cnt DESC, id ASC)   -- 1-based, dense
+
+Decomposition that distributes:
+
+    rank(id) = 1 + A(cnt) + B(cnt, id)
+    A(cnt)    = #{id': cnt' > cnt}            -- depends on cnt only
+    B(cnt,id) = #{id': cnt' = cnt, id' < id}  -- tie-break within a cnt
+
+* ``A`` is computed over the cnt histogram (one row per DISTINCT count value
+  — O(sqrt(total occurrences)) rows under any Zipf-ish distribution), split
+  into <= 64 binary octaves: cross-octave offsets are a driver prefix over a
+  64-row collect (bounded plan metadata, same pattern as packing's
+  base-offset phase), within-octave suffix sums are a window PARTITIONED by
+  octave — never a single global partition.
+* ``B`` subdivides each cnt's tie group into id-chunks of ``chunk`` ids:
+  cross-chunk offsets via a window partitioned by cnt over the per-chunk
+  cell counts (<= id_domain/chunk rows per partition), the final in-chunk
+  row_number over partitions of <= chunk rows. The cnt=1 tie group — half
+  the vocabulary under Zipf — therefore never lands in one task.
+
+The plan contains hash exchanges only; ``tests/test_plan_audit.py`` pins the
+absence of ``Exchange SinglePartition`` for every driver query built on this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# id-chunk width for tie-breaking: caps any in-chunk sort at 2^16 rows
+DEFAULT_CHUNK = 1 << 16
+
+
+def frequency_rank(
+    counts: DataFrame,
+    id_col: str,
+    cnt_col: str,
+    out_col: str = "rank",
+    chunk: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """(id, cnt) -> (id, rank) with rank 1-based by (cnt DESC, id ASC).
+
+    ``counts`` must have one row per id (e.g. the output of a groupBy-count)
+    and integer ``cnt_col`` >= 1; ``id_col`` must be integral (the chunked
+    tie-break divides the id domain).
+    """
+    c = F.col(cnt_col).cast("long")
+    # octave = floor(log2(cnt)) + 1 via binary-string length: exact integer
+    # arithmetic (float log2 is unreliable exactly at powers of two)
+    oct_ = F.length(F.conv(c.cast("string"), 10, 2)).cast("int")
+    base = counts.select(
+        F.col(id_col).alias("__id"),
+        c.alias("__cnt"),
+        oct_.alias("__oct"),
+        F.floor(F.col(id_col).cast("long") / F.lit(int(chunk))).alias("__tc"),
+    )
+
+    # ---- A(cnt): tokens with strictly greater cnt -------------------------
+    hist = base.groupBy("__cnt", "__oct").agg(F.count(F.lit(1)).alias("__n"))
+    # cross-octave: <= 64 rows to the driver (cnt is int64 -> <= 64 octaves)
+    oct_tot = {int(r["__oct"]): int(r["__t"]) for r in
+               hist.groupBy("__oct").agg(F.sum("__n").alias("__t")).collect()}
+    higher = {o: sum(t for oo, t in oct_tot.items() if oo > o) for o in oct_tot}
+    higher_expr = F.lit(0).cast("long")
+    for o, t in higher.items():
+        if t:
+            higher_expr = F.when(F.col("__oct") == o, F.lit(t)).otherwise(higher_expr)
+    # within-octave suffix: window PARTITIONED by octave (histogram rows only)
+    w_oct = (
+        Window.partitionBy("__oct")
+        .orderBy(F.col("__cnt").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a_df = hist.select(
+        "__cnt",
+        (higher_expr + F.sum("__n").over(w_oct) - F.col("__n")).alias("__A"),
+    )
+
+    # ---- B(cnt, id): same cnt, smaller id ---------------------------------
+    cells = base.groupBy("__cnt", "__tc").agg(F.count(F.lit(1)).alias("__cn"))
+    w_cell = (
+        Window.partitionBy("__cnt")
+        .orderBy("__tc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = cells.withColumn("__boff", F.sum("__cn").over(w_cell) - F.col("__cn"))
+    # fold A into the per-cell offset (histogram-sized join, broadcastable)
+    cells = cells.join(F.broadcast(a_df), "__cnt").select(
+        "__cnt", "__tc", (F.col("__A") + F.col("__boff")).alias("__off")
+    )
+
+    # ---- assemble: one exchange on (cnt, chunk), reused by the window -----
+    w_in = Window.partitionBy("__cnt", "__tc").orderBy("__id")
+    return (
+        base.join(cells, ["__cnt", "__tc"])
+        .select(
+            F.col("__id").alias(id_col),
+            (F.col("__off") + F.row_number().over(w_in)).cast("long").alias(out_col),
+        )
+    )

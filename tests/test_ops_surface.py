@@ -683,7 +683,9 @@ def test_simhash_hamming_banding_complete(spark, sf_dir):
     ).limit(120)
     got = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in simhash_hamming_pairs(docs, "doc_id", "tokens", bits=16, max_hamming=2).collect()
+        for r in simhash_hamming_pairs(
+            docs, "doc_id", "tokens", bits=16, max_hamming=2, max_bucket=None
+        ).collect()
     }
     s = docs.select(F.col("doc_id").alias("id"), simhash_col("tokens", 16).alias("sh"))
     a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -696,6 +698,115 @@ def test_simhash_hamming_banding_complete(spark, sf_dir):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_simhash_64bit_entropy_and_banding(spark, sf_dir):
+    """The 64-bit default must draw real entropy above bit 31 (the per-token
+    hashes are mod 2^31-1, so bits 31+ come from hash_1/hash_2, not zeros),
+    and pigeonhole banding must stay exact at 64 bits (incl. the sign bit)."""
+    from marmot_spark.operators.dedup import simhash_col, simhash_hamming_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "tokens", F.transform(F.split("text", " "), lambda x: F.length(x).cast("int"))
+        )
+        .limit(80)
+    )
+    sh = [r["sh"] for r in docs.select(simhash_col("tokens", 64).alias("sh")).collect()]
+    # upper 32 bits vary across docs -> not the zero-padded 16/31-bit hash
+    assert len({s >> 32 for s in sh}) > 1
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(
+            docs, "doc_id", "tokens", bits=64, max_hamming=3, max_bucket=None
+        ).collect()
+    }
+    s64 = docs.select(F.col("doc_id").alias("id"), simhash_col("tokens", 64).alias("sh"))
+    a = s64.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s64.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    naive = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_simhash_hamming_max_bucket_guardrail(spark):
+    """A degenerate band bucket (every doc identical) above the cap is
+    dropped before the self-join — the O(n^2) blowup guard — while small
+    buckets still pair up."""
+    from marmot_spark.operators.dedup import simhash_hamming_pairs
+
+    rows = [(f"dup{i:02d}", [5, 9, 5, 9, 5, 9]) for i in range(30)]
+    rows += [("ua", [1, 2, 3, 4, 5, 6, 7, 8]), ("ub", [1, 2, 3, 4, 5, 6, 7, 9])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    capped = simhash_hamming_pairs(df, "doc_id", "tokens", max_hamming=2, max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 30-dup clique (C(30,2)=435 pairs) is entirely suppressed by the cap
+    assert all(not (p[0].startswith("dup") and p[1].startswith("dup")) for p in got)
+    uncapped = simhash_hamming_pairs(df, "doc_id", "tokens", max_hamming=2, max_bucket=None)
+    n_unc = uncapped.filter(F.col("id_a").startswith("dup") & F.col("id_b").startswith("dup")).count()
+    assert n_unc == 435
+
+
+def test_frequency_rank_matches_global_window(spark, sf_dir):
+    """The distributed dense rank (octave offsets + chunked tie-break) must
+    equal the naive global-window row_number on (cnt DESC, id ASC) — ties
+    included — while planning with NO Exchange SinglePartition."""
+    from pyspark.sql import Window
+
+    from marmot_spark.operators.rank import frequency_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "tokens", F.transform(F.split("text", " "), lambda x: F.length(x).cast("int") * 37 + F.ascii(x))
+    )
+    counts = (
+        docs.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {
+        r["tok"]: r["rank"]
+        for r in frequency_rank(counts, "tok", "cnt", chunk=16).collect()
+    }
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    want = {
+        r["tok"]: r["rank"]
+        for r in counts.withColumn("rank", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want and len(got) > 20
+    # larger synthetic vocab: Zipf-ish counts, many octaves, many chunks
+    big = spark.createDataFrame(
+        [(t, 1 + (7919 * (t + 3)) % (t % 13 + 1) + (1 << (t % 11))) for t in range(0, 4000, 3)],
+        "tok int, cnt int",
+    )
+    got_b = {r["tok"]: r["rank"] for r in frequency_rank(big, "tok", "cnt", chunk=64).collect()}
+    want_b = {
+        r["tok"]: r["rank"]
+        for r in big.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())).cast("long"),
+        ).collect()
+    }
+    assert got_b == want_b and len(got_b) == 1334
+    # heavy ties (every cnt equal) exercise the pure tie-break path
+    tied = spark.createDataFrame(
+        [(i * 7 % 101, 5) for i in range(101)], "tok int, cnt int"
+    )
+    got_t = {r["tok"]: r["rank"] for r in frequency_rank(tied, "tok", "cnt", chunk=8).collect()}
+    assert got_t == {t: i + 1 for i, t in enumerate(sorted(got_t))}
+    # plan: distributed — no single-task sort anywhere
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        frequency_rank(counts, "tok", "cnt").explain("simple")
+    assert "SinglePartition" not in buf.getvalue()
 
 
 def test_operators_on_empty_and_degenerate_inputs(spark):

@@ -204,6 +204,29 @@ def test_contamination_plan_shape(spark, sf_dir):
     assert "hashpartitioning(sh" in plan
 
 
+def test_no_global_sort_or_window_in_any_driver_query(spark, sf_dir):
+    """Registry-wide anti-pattern gate: NO driver query may plan a Sort or
+    Window directly on top of an ``Exchange SinglePartition`` — the global
+    row_number()/orderBy rank that funnels the whole frame through one task
+    (the class of defect text_rarity_score had in r3). Scalar aggregates
+    (HashAggregate over SinglePartition after map-side partials) are fine
+    and deliberately NOT matched."""
+    import re
+
+    import __spark_entry__ as e
+
+    # Sort/Window whose direct child (next tree line) is the single-partition
+    # exchange; tree glyphs (+- :- spaces) between them
+    bad = re.compile(r"(Sort|Window)[^\n]*\n[\s:+-]*Exchange SinglePartition")
+    offenders = {}
+    for name, q in e.queries().items():
+        plan = plan_of(q(spark, sf_dir), "simple")
+        m = bad.search(plan)
+        if m:
+            offenders[name] = m.group(0)
+    assert not offenders, f"global one-task sorts found: {offenders}"
+
+
 def test_detect_hot_keys_single_scan(spark, sf_dir):
     """Hot-key detection must execute its input ONCE: the grand total rides
     the grouped counts through a reused exchange instead of a separate
