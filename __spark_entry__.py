@@ -164,6 +164,16 @@ _SH2 = (
 )
 
 
+def _sh_sql(k: int) -> str:
+    """Generic k-shingle fold mirroring dedup.shingle_hashes_col: acc =
+    (acc*1000003 + tok+1) mod P31 over k consecutive tokens (same expansion
+    as the hand-written _SH2/_SH3)."""
+    expr = "0"
+    for j in range(1, k + 1):
+        expr = f"(({expr}) * 1000003 + {_T.format(j=j)}+1) % 2147483647"
+    return f"list_transform(range(length(tokens)-{k - 1}), i -> {expr})"
+
+
 def _mh_sql(k: int) -> str:
     ck = ((2 * k + 1) * MULT) % P31
     return f"list_min(list_transform(sh, s -> ((CAST(s AS BIGINT)+1)*{ck} + {k}) % {P31}))"
@@ -365,6 +375,37 @@ ASOF LEFT JOIN (
 """
 
 
+def _q_j2_asof_nearest(spark, sf):
+    """J2 completion: NEAREST as-of (pandas merge_asof direction='nearest') —
+    for each event, the error closest in time on EITHER side; equal distance
+    resolves backward (the leakage-safe side). Composes the two verified
+    directional kernels (operators/asof.py::asof_join_nearest). Oracle: both
+    DuckDB ASOF directions joined per event + a distance CASE."""
+    from marmot_spark.operators.asof import asof_join_nearest
+
+    out = asof_join_nearest(
+        _events(spark, sf), _errors(spark, sf), on="user_id", left_ts="ts",
+        right_ts="err_ts", payload=["err_value_c"], tie_break="err_event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("matched_ts").alias("err_ts_us"), "err_value_c",
+    )
+
+
+_SQL_J2_NEAREST = f"""
+WITH b AS ({_SQL_J2}), f AS ({_SQL_J2_FWD})
+SELECT b.event_id, b.user_id, b.ts_us,
+  CASE WHEN b.err_ts_us IS NOT NULL AND (f.err_ts_us IS NULL
+            OR b.ts_us - b.err_ts_us <= f.err_ts_us - f.ts_us)
+       THEN b.err_ts_us ELSE f.err_ts_us END AS err_ts_us,
+  CASE WHEN b.err_ts_us IS NOT NULL AND (f.err_ts_us IS NULL
+            OR b.ts_us - b.err_ts_us <= f.err_ts_us - f.ts_us)
+       THEN b.err_value_c ELSE f.err_value_c END AS err_value_c
+FROM b JOIN f ON b.event_id = f.event_id
+"""
+
+
 def _q_j2_asof_merge(spark, sf):
     """J2 via the EXPLICIT Arrow merge kernel (strategy='merge'):
     co-partitioned sortWithinPartitions + vectorized grouped forward-fill in
@@ -511,6 +552,29 @@ def _q_s5_external_pipe(spark, sf):
 
 _SQL_S5 = """
 SELECT doc_id, upper(text) AS upper_text FROM documents
+"""
+
+
+def _q_s5_external_worker(spark, sf):
+    """S5 external-tool source, LONG-LIVED WORKER mode: one subprocess per
+    PARTITION (`per_partition=True`), rows streamed through it line-by-line
+    with per-line flush/read — the fast_align force-align / TreeTagger pipe
+    shape (interactive tools that keep model state loaded across lines, where
+    a per-batch respawn would reload the model each batch). `sed -u` is the
+    sandbox stand-in for such a line-buffered interactive tool; the batch
+    `tr` variant above covers the spawn-per-batch mode. Worker death
+    mid-partition, trailing output, and nonzero exit are all hard errors
+    (sources/external.py)."""
+    from marmot_spark.sources.external import pipe_text
+
+    d = _tbl(spark, sf, "documents").select("doc_id", "text")
+    out = pipe_text(d, "text", ["sed", "-u", "s/ /_/g"], out_col="snake_text",
+                    per_partition=True)
+    return out.select("doc_id", "snake_text")
+
+
+_SQL_S5_WORKER = """
+SELECT doc_id, replace(text, ' ', '_') AS snake_text FROM documents
 """
 
 
@@ -990,6 +1054,74 @@ SELECT id_a, id_b, jaccard_ppm FROM (
                len(list_distinct(list_concat(sa.sh, sb.sh)))) AS BIGINT) AS jaccard_ppm
   FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
 ) WHERE jaccard_ppm >= 300000
+"""
+
+
+def _q_dedup_clusters(spark, sf):
+    """Duplicate CLUSTERS: minhash-LSH near-dup pairs collapsed into
+    transitive components (operators/graph.py::connected_components —
+    min-label propagation, 2 hash exchanges per round, rounds = cluster
+    diameter) with cluster id = min doc_id and cluster size. This is the
+    operator a real dedup pass ends with: keep one doc per cluster. Oracle:
+    DuckDB recursive CTE computing min reachable id over the same pairs."""
+    from marmot_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf), "doc_id", "tokens",
+        k_shingle=3, n_hashes=8, rows_per_band=2, jaccard_threshold_ppm=300_000,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comps.join(F.broadcast(sizes), "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+r AS (
+  SELECT a AS id, a AS reach FROM e
+  UNION
+  SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach
+),
+comps AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS n FROM comps GROUP BY cluster_id)
+SELECT comps.id AS doc_id, comps.cluster_id, CAST(sizes.n AS BIGINT) AS cluster_size
+FROM comps JOIN sizes USING (cluster_id)
+"""
+
+
+def _q_dedup_spans(spark, sf):
+    """Exact duplicated-SPAN inventory (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" — exact-substring dedup at
+    fixed window granularity, the bucketed recast of their suffix-array
+    scan): every 5-token window occurring in >= 2 documents, with its doc
+    count and the survivor (min doc_id). Spans are per-doc DISTINCT (set
+    semantics). Scale shape: in-array shingle fold (codegen, no shuffle) ->
+    one partial-aggregated groupBy on the int64 span hash — the same
+    exchange shape as a word count, at any corpus size."""
+    from marmot_spark.operators.dedup import shingle_hashes_col
+
+    d = _docs(spark, sf)
+    sh = d.select("doc_id", F.explode(shingle_hashes_col("tokens", 5)).alias("span_hash"))
+    return (
+        sh.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _sql_dedup_spans() -> str:
+    return f"""
+WITH {DOCS_T},
+s AS (SELECT doc_id, list_distinct({_sh_sql(5)}) AS sh FROM docs_t WHERE length(tokens) >= 5)
+SELECT u.x AS span_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+FROM s, UNNEST(sh) AS u(x)
+GROUP BY u.x HAVING count(*) >= 2
 """
 
 
@@ -1812,7 +1944,14 @@ def _q_contamination_check(spark, sf):
     from marmot_spark.operators.dedup import cross_split_contamination
 
     d = split_assign(_docs(spark, sf), id_col="doc_id")
-    return cross_split_contamination(d, "tokens", "split", "doc_id", k=3)
+    # bloom pre-filter ON (2^20 bits): the train-shingle bloom is built
+    # distributed, broadcast, and drops definite-miss test shingles BEFORE
+    # the exchange — result bit-identical to bloom-off (false positives fall
+    # through to the exact join); parity pinned by
+    # tests/test_token_pipeline.py::test_contamination_bloom_parity
+    return cross_split_contamination(
+        d, "tokens", "split", "doc_id", k=3, bloom_bits=1 << 20
+    )
 
 
 def _sql_contamination_check() -> str:
@@ -1981,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_asof_tolerance": _q_j2_asof_tolerance,
         "j2_asof_merge": _q_j2_asof_merge,
         "j2_asof_forward": _q_j2_asof_forward,
+        "j2_asof_nearest": _q_j2_asof_nearest,
         "a4_rolling_chunked": _q_a4_rolling_chunked,
         "w6_sessionize_chunked": _q_w6_sessionize_chunked,
         "text_rarity_score": _q_text_rarity_score,
@@ -1988,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_alignment_join": _q_j1_alignment_join,
         "j4_pseudo_ref": _q_j4_pseudo_ref,
         "s5_external_pipe": _q_s5_external_pipe,
+        "s5_external_worker": _q_s5_external_worker,
         "j3_ngram_membership": _q_j3_ngram_membership,
         "w3_longest_ngram": _q_w3_longest_ngram,
         "a1_length_stats": _q_a1_length_stats,
@@ -2008,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_window_rank": _q_w5_window_rank,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_spans": _q_dedup_spans,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_hamming": _q_dedup_simhash_hamming,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2047,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "j2_asof_tolerance": _SQL_J2_TOL,
         "j2_asof_merge": _SQL_J2,
         "j2_asof_forward": _SQL_J2_FWD,
+        "j2_asof_nearest": _SQL_J2_NEAREST,
         "a4_rolling_chunked": _SQL_A4_CHUNKED,
         "w6_sessionize_chunked": _SQL_W6_CHUNKED,
         "text_rarity_score": _SQL_RARITY,
@@ -2054,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
         "j1_alignment_join": _SQL_J1,
         "j4_pseudo_ref": _SQL_J4,
         "s5_external_pipe": _SQL_S5,
+        "s5_external_worker": _SQL_S5_WORKER,
         "j3_ngram_membership": _SQL_J3,
         "w3_longest_ngram": _SQL_W3,
         "a1_length_stats": _SQL_A1,
@@ -2074,6 +2219,8 @@ def oracle_sql() -> dict[str, str]:
         "w5_window_rank": _SQL_W5,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash(),
+        "dedup_clusters": _sql_dedup_clusters(),
+        "dedup_spans": _sql_dedup_spans(),
         "dedup_simhash": _sql_simhash(),
         "dedup_simhash_hamming": _sql_simhash_hamming(),
         "dedup_ngram_jaccard": _SQL_JACCARD,

@@ -446,3 +446,57 @@ def asof_join_forward(
     return out.withColumn(
         "matched_ts", F.timestamp_micros(piv - F.unix_micros(F.col("matched_ts")))
     ).drop("__rev_lts")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tie_break: str | None = None,
+    tolerance_us: int | None = None,
+    strategy: str = "window",
+    hot_keys: Sequence | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """NEAREST as-of join: for each left row, the right row minimizing
+    ``|right_ts - left_ts|`` (pandas merge_asof direction='nearest'). Equal
+    distance on both sides resolves to the BACKWARD (earlier) match — the
+    leakage-safe side — and a right row exactly at ``left_ts`` is that case
+    (distance 0 both ways, backward wins; both directions pick the same row
+    under the shared MAX-``tie_break`` rule). ``tolerance_us`` bounds the
+    distance symmetrically, as in pandas.
+
+    Implemented by composing the two verified directional kernels — backward
+    then forward on the backward's output — and selecting per row with a
+    codegen'd CASE over the two matched timestamps. Two sort shuffles instead
+    of one; the single-pass alternative (union both sides, keep prev AND next
+    right row per left row in one window) saves a shuffle but forfeits reuse
+    of the directional kernels' salting/tolerance/null machinery, so
+    composition is the maintained form. All strategy/skew options forward to
+    both kernels unchanged.
+    """
+    b = asof_join(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts, payload=payload,
+        tie_break=tie_break, tolerance_us=tolerance_us, strategy=strategy,
+        hot_keys=hot_keys, n_salts=n_salts,
+    )
+    ren = {c: f"__bwd_{c}" for c in list(payload) + ["matched_ts"]}
+    for old, new in ren.items():
+        b = b.withColumnRenamed(old, new)
+    f2 = asof_join_forward(
+        b, right, on=on, left_ts=left_ts, right_ts=right_ts, payload=payload,
+        tie_break=tie_break, tolerance_us=tolerance_us, strategy=strategy,
+        hot_keys=hot_keys, n_salts=n_salts,
+    )
+    dist_b = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__bwd_matched_ts"))
+    dist_f = F.unix_micros(F.col("matched_ts")) - F.unix_micros(F.col(left_ts))
+    use_b = F.col("__bwd_matched_ts").isNotNull() & (
+        F.col("matched_ts").isNull() | (dist_b <= dist_f)
+    )
+    out = f2
+    for c in list(payload) + ["matched_ts"]:
+        out = out.withColumn(c, F.when(use_b, F.col(f"__bwd_{c}")).otherwise(F.col(c)))
+    return out.drop(*ren.values())

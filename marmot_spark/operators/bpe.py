@@ -97,10 +97,23 @@ def train_bpe_merges(
     n_merges: int = 8,
     new_id_base: int = 1_000_000,
     min_count: int = 2,
+    checkpoint_every: int = 10,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges; returns the ordered merge table
     [{rank, a, b, new_id, cnt}]. Stops early when no pair reaches
-    ``min_count``."""
+    ``min_count``.
+
+    ``checkpoint_every``: every k-th round's rewrite is ``localCheckpoint``-ed
+    (eager) instead of plain-persisted, TRUNCATING the logical lineage.
+    Persist alone bounds recomputation but the plan still nests one HOF fold
+    per round — analysis/optimization cost and plan depth grow linearly, and
+    a lost executor would replay the whole chain from round 0. With
+    checkpointing, replay and plan depth are bounded at k rounds (pinned by
+    tests/test_token_pipeline.py — a 16-round run keeps the per-round plan
+    flat). For cross-job failure recovery on a real cluster, set a reliable
+    ``spark.sparkContext.setCheckpointDir`` and swap ``localCheckpoint`` for
+    ``checkpoint``; local mode has no durable store, so the executor-local
+    form is the sandbox-honest default. 0 disables."""
     cur = df.select(F.col(tokens_col).alias("__t")).persist()
     cur.count()  # materialize before the loop
     merges: list[dict] = []
@@ -117,8 +130,12 @@ def train_bpe_merges(
             a, b, cnt = int(top[0]["a"]), int(top[0]["b"]), int(top[0]["cnt"])
             new_id = new_id_base + rank
             merges.append({"rank": rank, "a": a, "b": b, "new_id": new_id, "cnt": cnt})
-            nxt = cur.select(apply_merge(F.col("__t"), a, b, new_id).alias("__t")).persist()
-            nxt.count()  # materialize so unpersisting cur is safe
+            nxt = cur.select(apply_merge(F.col("__t"), a, b, new_id).alias("__t"))
+            if checkpoint_every and (rank + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)  # materializes + truncates lineage
+            else:
+                nxt = nxt.persist()
+                nxt.count()  # materialize so unpersisting cur is safe
             cur.unpersist()
             cur = nxt
     finally:

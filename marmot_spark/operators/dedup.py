@@ -25,6 +25,8 @@ shingle, not real candidates).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -292,6 +294,63 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _bloom_pos_exprs(col: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """Bit positions of a value under the j-th universal hash, j < n_hashes
+    (the same multiplicative family as ``_hash_k``, then mod the bit width).
+    MUST stay formula-identical to the numpy form in ``bloom_might_contain``.
+    """
+    return [(_hash_k(col, j) % F.lit(n_bits)).alias(f"__p{j}") for j in range(n_hashes)]
+
+
+def build_bloom_words(values: DataFrame, col: str, n_bits: int, n_hashes: int = 3):
+    """DISTRIBUTED bloom-filter build over an int64 column: returns a numpy
+    int64 array of ``n_bits / 64`` words (bit b of the filter = bit ``b % 64``
+    of word ``b // 64``).
+
+    The build is one Spark aggregation: every value explodes into its
+    ``n_hashes`` bit positions, positions fold into per-word masks via
+    ``bit_or`` (idempotent — no distinct needed), and only the <= n_bits/64
+    (word, mask) rows reach the driver. At 10^12 train shingles the executors
+    still ship only the fixed-size word table; sizing follows the standard
+    m = -n*ln(p)/ln(2)^2 rule (n_bits ~ 10 bits/element for ~1% FP).
+    """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    pos = values.select(F.explode(F.array(*_bloom_pos_exprs(F.col(col), n_bits, n_hashes))).alias("p"))
+    rows = (
+        pos.groupBy(F.floor(F.col("p") / F.lit(64)).cast("long").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")).alias("bits"))
+        .collect()
+    )
+    words = np.zeros(n_bits // 64, dtype=np.int64)
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def bloom_might_contain(spark, words, n_bits: int, n_hashes: int = 3):
+    """Vectorized membership probe: a pandas UDF (Arrow-batched numpy — no
+    per-row Python) testing all ``n_hashes`` bits per value against the
+    broadcast word table. False positives possible (by design), false
+    negatives impossible — so it is always safe as a PRE-filter in front of
+    an exact join."""
+    bc = spark.sparkContext.broadcast(words)
+    mults = [((2 * j + 1) * MULT) % P31 for j in range(n_hashes)]
+
+    @F.pandas_udf("boolean")
+    def might_contain(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype="int64")
+        w = bc.value
+        out = np.ones(len(x), dtype=bool)
+        for j, m in enumerate(mults):
+            # identical to _hash_k: ((x+1)*mult_j + j) mod P31, then mod n_bits
+            p = ((x + 1) * m + j) % P31 % n_bits
+            out &= (np.right_shift(w[p // 64], p % 64) & 1).astype(bool)
+        return pd.Series(out)
+
+    return might_contain
+
+
 def cross_split_contamination(
     df: DataFrame,
     tokens_col: str,
@@ -300,6 +359,8 @@ def cross_split_contamination(
     train_value: str = "train",
     test_value: str = "test",
     k: int = 3,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 3,
 ) -> DataFrame:
     """Benchmark-contamination scan: for every TEST document, the fraction of
     its k-gram shingles that also occur anywhere in the TRAIN split.
@@ -314,13 +375,22 @@ def cross_split_contamination(
     with >= k tokens (shingles are per-doc DISTINCT — set semantics).
 
     Scale shape: one narrow projection computes the shingle sets in-array
-    (codegen HOF, no shuffle); the train side collapses to DISTINCT shingle
-    hashes (partial-aggregated — the heavy lifting is map-side); the test
-    side joins on the shingle hash (int64 key, both sides shuffle on it —
-    the unavoidable exchange) and re-aggregates per doc. At 10^12 docs the
-    standard upgrade is a bloom filter over the train shingles broadcast as
-    a pre-filter so only probable hits reach the exchange; exact results
-    still come from this join.
+    (codegen HOF, no shuffle); the per-doc denominator ``n_shingles`` is the
+    array size (never crosses an exchange); the train side collapses to
+    DISTINCT shingle hashes (partial-aggregated — the heavy lifting is
+    map-side); test shingles join train on the int64 hash (the one
+    unavoidable exchange) and hit counts re-aggregate per doc.
+
+    ``bloom_bits`` enables the 10^12-doc upgrade: a bloom filter over the
+    train shingles is built distributed (``build_bloom_words`` — one
+    aggregation; only the fixed n_bits/64-word table reaches the driver),
+    broadcast, and applied as an Arrow-vectorized PRE-filter on the test
+    shingles BEFORE the exchange — only probable hits shuffle. Bloom false
+    positives pass through to the exact join and are correctly counted as
+    misses there, so the result is bit-identical with the filter on or off
+    (pinned by tests); the filter only shrinks the exchange. The build costs
+    one extra pass over the train shingles at plan-build time (same
+    trade-off as ``detect_hot_keys``).
     """
     sh = df.select(
         F.col(id_col).alias("__id"),
@@ -331,17 +401,25 @@ def cross_split_contamination(
         sh.filter(F.col("__split") == train_value)
         .select(F.explode("__sh").alias("sh"))
         .distinct()
-        .withColumn("__hit", F.lit(1))
     )
-    test = sh.filter(F.col("__split") == test_value).select(
-        "__id", F.explode("__sh").alias("sh")
+    test_docs = sh.filter(F.col("__split") == test_value).filter(F.size("__sh") > 0)
+    totals = test_docs.select("__id", F.size("__sh").cast("long").alias("n_shingles"))
+    test = test_docs.select("__id", F.explode("__sh").alias("sh"))
+    if bloom_bits is not None:
+        words = build_bloom_words(train, "sh", bloom_bits, bloom_hashes)
+        mc = bloom_might_contain(df.sparkSession, words, bloom_bits, bloom_hashes)
+        test = test.filter(mc(F.col("sh")))
+    hits = (
+        test.join(train, "sh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
     )
     return (
-        test.join(train, "sh", "left")
-        .groupBy(F.col("__id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        totals.join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
         )
         .withColumn(
             "contamination_ppm",

@@ -297,3 +297,70 @@ def test_asof_forward_matches_pandas(spark, fixture_dir):
             got["score"].astype(float), want["score"].astype(float),
             check_names=False,
         )
+
+
+def test_asof_nearest_matches_pandas_composition(spark, fixture_dir):
+    """asof_join_nearest == combining pandas' OWN backward+forward merges
+    under the documented tie rule (dist_b <= dist_f -> backward) — an
+    independent construction of the same semantics on the seeded fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    from marmot_spark.operators.asof import asof_join_nearest
+
+    seqs = spark.read.parquet(f"{fixture_dir}/sequences.parquet").select("doc_id", "seq_ts")
+    labels = spark.read.parquet(f"{fixture_dir}/labels.parquet").select(
+        "doc_id", "label_ts", "label_seq", "score"
+    )
+    lp = (
+        labels.toPandas()
+        .sort_values(["doc_id", "label_ts", "label_seq"])
+        .groupby(["doc_id", "label_ts"], as_index=False)
+        .last()  # MAX tie_break at equal ts, both directions
+    )
+    sp = seqs.toPandas().sort_values(["seq_ts", "doc_id"]).reset_index(drop=True)
+    mk = lambda d: pd.merge_asof(  # noqa: E731
+        sp.sort_values("seq_ts"),
+        lp.sort_values("label_ts")[["doc_id", "label_ts", "score"]],
+        left_on="seq_ts", right_on="label_ts", by="doc_id", direction=d,
+    ).sort_values(["seq_ts", "doc_id"]).reset_index(drop=True)
+    b, f = mk("backward"), mk("forward")
+    dist_b = (b["seq_ts"] - b["label_ts"]).dt.total_seconds()
+    dist_f = (f["label_ts"] - f["seq_ts"]).dt.total_seconds()
+    use_b = b["label_ts"].notna() & (f["label_ts"].isna() | (dist_b <= dist_f))
+    want = pd.Series(np.where(use_b, b["score"], f["score"]), dtype=float)
+    got = (
+        asof_join_nearest(
+            seqs, labels, on="doc_id", left_ts="seq_ts", right_ts="label_ts",
+            payload=["score"], tie_break="label_seq",
+        )
+        .select("doc_id", "seq_ts", "score")
+        .toPandas()
+        .sort_values(["seq_ts", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["score"].astype(float), want, check_names=False)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Equal distance on both sides -> the BACKWARD (earlier, leakage-safe)
+    match wins; an exact-ts right row wins over any other candidate."""
+    from marmot_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10"), ("k", "2024-01-01 00:01:00")],
+        "id string, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1), ("k", "2024-01-01 00:00:20", 2),
+         ("k", "2024-01-01 00:01:00", 3)],
+        "id string, rts string, v int",
+    ).select("id", F.col("rts").cast("timestamp").alias("rts"), "v")
+    rows = {
+        r["ts"].second + r["ts"].minute * 60: r["v"]
+        for r in asof_join_nearest(
+            left, right, on="id", left_ts="ts", right_ts="rts", payload=["v"]
+        ).collect()
+    }
+    assert rows[10] == 1  # 10s back vs 10s forward: backward wins the tie
+    assert rows[60] == 3  # exact-ts match (distance 0 backward)

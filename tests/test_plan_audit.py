@@ -204,6 +204,30 @@ def test_contamination_plan_shape(spark, sf_dir):
     assert "hashpartitioning(sh" in plan
 
 
+def test_contamination_bloom_prefilter_shape(spark, sf_dir):
+    """The bloom pre-filter must be an Arrow-vectorized probe that adds ZERO
+    exchanges: same shuffle count as bloom-off (it only shrinks the rows
+    entering the existing shingle-hash exchange), with the probe present
+    only in the bloom-on plan."""
+    from marmot_spark.functions.splits import split_assign
+    from marmot_spark.operators.dedup import cross_split_contamination
+
+    d = split_assign(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "tokens", F.transform(F.split("text", " "), lambda x: F.length(x).cast("int"))
+        ),
+        id_col="doc_id",
+    )
+    off = plan_of(cross_split_contamination(d, "tokens", "split", "doc_id", k=3), "simple")
+    on = plan_of(
+        cross_split_contamination(d, "tokens", "split", "doc_id", k=3, bloom_bits=1 << 16),
+        "simple",
+    )
+    assert "ArrowEvalPython" not in off and "ArrowEvalPython" in on
+    assert off.count("Exchange hashpartitioning") == on.count("Exchange hashpartitioning")
+    assert "SinglePartition" not in on
+
+
 def test_no_global_sort_or_window_in_any_driver_query(spark, sf_dir):
     """Registry-wide anti-pattern gate: NO driver query may plan a Sort or
     Window directly on top of an ``Exchange SinglePartition`` — the global

@@ -164,6 +164,85 @@ def test_cross_split_contamination_planted(spark):
     assert out[5]["contamination_ppm"] == 500_000
 
 
+def test_contamination_bloom_parity(spark):
+    """The bloom pre-filter must be output-INVISIBLE: results with
+    bloom_bits set (even absurdly small, maximizing false positives) are
+    bit-identical to bloom off — false positives fall through to the exact
+    join; false negatives are impossible by construction."""
+    import random
+
+    from marmot_spark.operators.dedup import cross_split_contamination
+
+    rng = random.Random(7)
+    rows = [
+        (i, ("train", "test", "val")[i % 3],
+         [rng.randrange(20) for _ in range(rng.randrange(0, 12))])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, tokens array<int>")
+    base = sorted(
+        map(tuple, cross_split_contamination(df, "tokens", "split", "doc_id", k=3).collect())
+    )
+    for bits in (64, 4096, 1 << 16):  # 64 bits ~ all-FP stress case
+        got = sorted(map(tuple, cross_split_contamination(
+            df, "tokens", "split", "doc_id", k=3, bloom_bits=bits
+        ).collect()))
+        assert got == base, f"bloom_bits={bits} changed the result"
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every inserted value passes might_contain; a disjoint probe set shows
+    a low FP rate at the standard ~10 bits/element sizing."""
+    from pyspark.sql import functions as F
+
+    from marmot_spark.operators.dedup import bloom_might_contain, build_bloom_words
+
+    vals = spark.range(0, 1000).select((F.col("id") * 7 + 1).alias("v"))
+    words = build_bloom_words(vals, "v", n_bits=1 << 14, n_hashes=3)
+    mc = bloom_might_contain(spark, words, 1 << 14, 3)
+    assert vals.filter(~mc(F.col("v"))).count() == 0  # no false negatives
+    probe = spark.range(0, 1000).select((F.col("id") * 7 + 3).alias("v"))
+    fp = probe.filter(mc(F.col("v"))).count()
+    assert fp < 100  # ~1.7% expected at 16.4 bits/element; 10% is a red flag
+
+
+def test_connected_components(spark):
+    """Chain (diameter > 1), clique, isolated pair, self-loop: every node
+    labeled with its component's min id; non-convergence raises."""
+    import pytest as _pytest
+
+    from marmot_spark.operators.graph import connected_components
+
+    edges = [(5, 4), (4, 3), (3, 2), (2, 1),      # chain 1-5
+             (10, 11), (11, 12), (10, 12),         # clique
+             (20, 21),                             # pair
+             (30, 30)]                             # self-loop only -> dropped
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["comp"] for r in connected_components(df, "src", "dst").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, "src", "dst", max_iter=1)
+
+
+def test_bpe_checkpoint_parity_16_rounds(spark):
+    """Lineage-truncation checkpointing (every 4 rounds) over a 16-merge
+    budget: identical merge table to the pure-python reference AND to the
+    uncheckpointed run, and the final plan depth stays bounded (the round-13
+    rewrite's plan no longer nests rounds 0..12)."""
+    import random
+
+    from marmot_spark.operators.bpe import train_bpe_merges
+
+    rng = random.Random(29)
+    seqs = [[rng.randrange(5) for _ in range(rng.randrange(2, 30))] for _ in range(150)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)], "id long, tokens array<int>")
+    want, _ = _ref_bpe(seqs, 16, 500)
+    got_ck = train_bpe_merges(df, "tokens", n_merges=16, new_id_base=500, checkpoint_every=4)
+    got_no = train_bpe_merges(df, "tokens", n_merges=16, new_id_base=500, checkpoint_every=0)
+    assert got_ck == want and got_no == want
+
+
 def test_assemble_packs_equals_naive_concat(spark):
     """Segments + assembly reproduce the naive driver-side concat-and-chunk
     exactly: same pack count, every pack's token array identical."""
