@@ -42,6 +42,18 @@ VARIANTS: dict[str, str] = {
     "offheap": "spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=8g",
     "parallelgc": "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
     "bigbuf": "spark.shuffle.file.buffer=1m;spark.shuffle.unsafe.file.output.buffer=1m",
+    # --- round-4 variants (VERDICT r3 task 5), all on top of the adopted
+    # zstd shuffle default. Arrow batch size and inMemoryColumnarStorage were
+    # on the suggested list but DO NOT APPLY to the flagship: its default
+    # path has no Python stage (test_flagship_has_no_python_udfs) and caches
+    # nothing, so neither config is exercised — noted in BENCH/BASELINE.md
+    # instead of burning runs.
+    "zstd3": "spark.io.compression.zstd.level=3",
+    "zstd_bigbuf": "spark.io.compression.zstd.bufferSize=256k",
+    "g1region32": "spark.driver.extraJavaOptions=-XX:G1HeapRegionSize=32m",
+    # "offheap" above now runs on the zstd engine default = the off-heap+zstd
+    # combination VERDICT r3 asked for
+    "pretouch": "spark.driver.extraJavaOptions=-XX:+AlwaysPreTouch",
 }
 
 
