@@ -110,7 +110,8 @@ def main():
         summary[name] = {"noop_s": round(med_noop, 2), "cpu_s": round(med_cpu, 1),
                          "thr": round(med_thr)}
         print(f"{name:16s} noop={med_noop:6.2f}s cpu={med_cpu:6.1f}s thr={med_thr:,.0f}")
-    out = os.path.join(REPO, "BENCH", f"sweep_{cpus}core.json")
+    out = os.environ.get(
+        "SWEEP_OUT", os.path.join(REPO, "BENCH", f"sweep_{cpus}core.json"))
     with open(out, "w") as f:
         json.dump({"cpus": cpus, "rows": rows, "runs": n_runs,
                    "summary": summary, "raw": results}, f, indent=1)
