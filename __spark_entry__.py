@@ -2044,15 +2044,16 @@ def _q_bpe_train(spark, sf):
     )
 
 
-def _sql_bpe_train(n_merges: int = 6, base: int = 1_000_000, min_count: int = 2) -> str:
-    """Exact DuckDB mirror of train_bpe_merges: the fixed merge budget is
-    UNROLLED as chained CTEs (one per round). Greedy left-to-right merge
-    application is expressed with windows instead of a fold: for a != b,
-    adjacent matches are provably disjoint (a match at i+1 would need
-    tok[i+1] = a AND b simultaneously), so every (a, b) site merges; for
-    a == b, a gaps-and-islands run offset gives the within-run parity and
-    even offsets start merges. A consumed position is exactly one whose
-    predecessor started a merge. Tie-break = struct-min over
+def _bpe_cte(n_merges: int, base: int = 1_000_000, min_count: int = 2) -> str:
+    """Shared CTE chain for the BPE oracles: the fixed merge budget is
+    UNROLLED as chained CTEs (one per round); ``s{n_merges}`` holds the fully
+    rewritten (encoded) corpus and ``m{k}`` round k's chosen merge. Greedy
+    left-to-right merge application is expressed with windows instead of a
+    fold: for a != b, adjacent matches are provably disjoint (a match at i+1
+    would need tok[i+1] = a AND b simultaneously), so every (a, b) site
+    merges; for a == b, a gaps-and-islands run offset gives the within-run
+    parity and even offsets start merges. A consumed position is exactly one
+    whose predecessor started a merge. Tie-break = struct-min over
     (-cnt, a, b); early stop = an `act` flag that latches false once the
     best count drops below min_count."""
     parts = [f"WITH {DOCS_T},", "s0 AS (SELECT doc_id AS id, tokens AS tk FROM docs_t)"]
@@ -2102,12 +2103,136 @@ s{k+1} AS (
              FILTER (WHERE NOT consumed) AS tk
   FROM z{k} GROUP BY id
 )""")
+    return "".join(parts)
+
+
+def _sql_bpe_train(n_merges: int = 6, base: int = 1_000_000, min_count: int = 2) -> str:
+    """Merge-table oracle: the shared ``_bpe_cte`` chain + a union over the
+    active rounds' chosen merges."""
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INT) AS rank, CAST(a AS INT) AS a, CAST(b AS INT) AS b, "
         f"nid AS new_id, cnt FROM m{k} WHERE act"
         for k in range(n_merges)
     )
-    return "".join(parts) + "\n" + unions
+    return _bpe_cte(n_merges, base, min_count) + "\n" + unions
+
+
+def _q_bpe_encode(spark, sf):
+    """Tokenizer round-trip: train 4 BPE merges on the corpus, then APPLY them
+    to the same corpus (operators/bpe.py::bpe_encode — n_merges chained
+    ``F.aggregate`` folds, a narrow JVM-side columnar rewrite: zero Python,
+    zero shuffle after training) and emit the encoded sequences exploded as
+    (doc_id, pos, tok). The oracle reuses the unrolled training CTE chain,
+    whose final ``s4`` relation IS the encoded corpus."""
+    from marmot_spark.operators.bpe import bpe_encode, train_bpe_merges
+
+    docs = _docs(spark, sf)
+    merges = train_bpe_merges(docs, "tokens", n_merges=4, new_id_base=1_000_000)
+    enc = bpe_encode(docs, merges, "tokens", "enc")
+    return enc.select("doc_id", F.posexplode("enc").alias("pos", "tok"))
+
+
+def _sql_bpe_encode(n_merges: int = 4) -> str:
+    return _bpe_cte(n_merges) + f"""
+SELECT id AS doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i AS INT)+1] AS tok
+FROM s{n_merges}, UNNEST(range(length(tk))) AS u(i)
+"""
+
+
+def _q_text_tfidf(spark, sf):
+    """Per-(doc, term) tf-idf (operators/scoring.py::tf_idf): tf from the one
+    corpus-sized (doc, tok) exchange, document frequency broadcast back
+    (vocab-sized), corpus doc count as a 1-row broadcast crossJoin. tfidf
+    quantized to milli units inside the operator (integer-exact hash)."""
+    from marmot_spark.operators.scoring import tf_idf
+
+    return tf_idf(_docs(spark, sf), "doc_id", "tokens", quant=1000)
+
+
+_SQL_TFIDF = f"""
+WITH {DOCS_T}, {DOCS_E},
+tfd AS (SELECT doc_id, tok, count(*) AS tf FROM docs_e GROUP BY doc_id, tok),
+dfd AS (SELECT tok, count(*) AS df FROM tfd GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM docs_t)
+SELECT t.doc_id, t.tok, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+  CAST(floor(CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+             * 1000.0 + 0.5) AS BIGINT) AS tfidf_q
+FROM tfd t JOIN dfd d USING (tok), n
+"""
+
+
+def _q_lm_score_bigram(spark, sf):
+    """Add-one-smoothed bigram LM fluency scoring
+    (operators/scoring.py::bigram_lm_loglik): train on docs with
+    doc_id %% 5 != 0, score the held-out fifth — the KenLM-ish perplexity
+    filter trained and applied in one DAG. Per-bigram log-probs are
+    quantized to micro units BEFORE the per-doc sum, so ll_q is an exact
+    integer (summation-order independent)."""
+    from marmot_spark.operators.scoring import bigram_lm_loglik
+
+    docs = _docs(spark, sf)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    score = docs.filter(F.col("doc_id") % 5 == 0)
+    return bigram_lm_loglik(train, score, "doc_id", "tokens")
+
+
+_SQL_LM_SCORE = f"""
+WITH {DOCS_T},
+tr AS (SELECT * FROM docs_t WHERE doc_id % 5 <> 0),
+sc AS (SELECT * FROM docs_t WHERE doc_id % 5 = 0),
+trp AS (SELECT tokens[CAST(u.i AS INT)+1] AS a, tokens[CAST(u.i AS INT)+2] AS b
+        FROM tr, UNNEST(range(length(tokens)-1)) AS u(i)),
+bi AS (SELECT a, b, count(*) AS cab FROM trp GROUP BY a, b),
+ctx AS (SELECT a, sum(cab) AS ctxn FROM bi GROUP BY a),
+v AS (SELECT count(DISTINCT tokens[CAST(u.p AS INT)+1]) AS v
+      FROM tr, UNNEST(range(length(tokens))) AS u(p)),
+terms AS (
+  SELECT s.doc_id,
+    CAST(floor(ln((CAST(COALESCE(b.cab, 0) AS DOUBLE) + 1.0)
+                  / (CAST(COALESCE(c.ctxn, 0) AS DOUBLE) + CAST(v.v AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS t
+  FROM (SELECT sc.doc_id, tokens[CAST(u.i AS INT)+1] AS a, tokens[CAST(u.i AS INT)+2] AS b
+        FROM sc, UNNEST(range(length(tokens)-1)) AS u(i)) s
+  LEFT JOIN bi b USING (a, b) LEFT JOIN ctx c USING (a), v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(t) AS BIGINT) AS ll_q
+FROM terms GROUP BY doc_id
+"""
+
+
+def _q_importance_weights(spark, sf):
+    """DSIR-style hashed-bigram importance weights toward the lang='en'
+    target domain (operators/scoring.py::importance_weights): per-bucket
+    target-vs-raw log-ratios (1024 buckets, broadcast) summed per doc after
+    micro-unit quantization. The resampling signal of Xie et al. 2023."""
+    from marmot_spark.operators.scoring import importance_weights
+
+    return importance_weights(
+        _docs(spark, sf), F.col("lang") == "en", "doc_id", "tokens",
+        k=2, n_buckets=1024,
+    )
+
+
+def _sql_importance_weights(n_buckets: int = 1024) -> str:
+    bucket = (
+        f"list_transform(range(length(tokens)-1), i -> CAST("
+        f"(((({_T.format(j=1)}+1) % 2147483647) * 1000003 + {_T.format(j=2)}+1)"
+        f" % 2147483647) % {n_buckets} AS INT))"
+    )
+    return f"""
+WITH {DOCS_T},
+feats AS (SELECT doc_id, (lang = 'en') AS tgt, u.f AS f
+          FROM docs_t, UNNEST({bucket}) AS u(f)),
+buckets AS (SELECT f, count(*) AS r, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
+            FROM feats GROUP BY f),
+tot AS (SELECT sum(r) AS tr, sum(t) AS tt FROM buckets),
+ratio AS (SELECT f,
+  CAST(floor((ln((CAST(t AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + {n_buckets}.0))
+            - ln((CAST(r AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + {n_buckets}.0)))
+             * 1000000.0 + 0.5) AS BIGINT) AS lr
+  FROM buckets, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, CAST(sum(lr) AS BIGINT) AS w_q
+FROM feats JOIN ratio USING (f) GROUP BY doc_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2176,7 +2301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "contamination_check": _q_contamination_check,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "quality_filter": _q_quality_filter,
+        "text_tfidf": _q_text_tfidf,
+        "lm_score_bigram": _q_lm_score_bigram,
+        "importance_weights": _q_importance_weights,
     }
 
 
@@ -2251,4 +2380,8 @@ FROM events GROUP BY user_id
         "contamination_check": _sql_contamination_check(),
         "quality_filter": _sql_quality_filter(),
         "bpe_train": _sql_bpe_train(),
+        "bpe_encode": _sql_bpe_encode(),
+        "text_tfidf": _SQL_TFIDF,
+        "lm_score_bigram": _SQL_LM_SCORE,
+        "importance_weights": _sql_importance_weights(),
     }

@@ -1,0 +1,221 @@
+"""Corpus-statistics scoring operators for training-data curation
+(SURVEY.md §2 extension — token-pipeline ops).
+
+The reference scores candidate sentences with externally-trained models
+(marmot feature extractors consume LM/alignment scores [R — SURVEY.md §0]);
+a Spark-native pipeline can train the simple statistical scorers in the same
+job that applies them. Three classic curation signals:
+
+* ``tf_idf`` — per-(doc, term) weight; the retrieval/keyword baseline.
+* ``bigram_lm_loglik`` — add-one-smoothed bigram language-model
+  log-likelihood of held-out docs, the KenLM-ish fluency/perplexity filter
+  (train counts and scoring run in one DAG, no external model file).
+* ``importance_weights`` — DSIR-style hashed n-gram importance weights
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): log-ratio of target-domain vs raw-corpus hashed-feature
+  frequencies, summed per doc.
+
+Numeric contract (what makes these oracle-hashable): every floating value is
+quantized to integer micro/milli units INSIDE the operator, per TERM, before
+any cross-row summation — so the final per-doc scores are exact BIGINT sums
+(associative, partitioning-independent), immune to double-addition ordering
+differences between engines. The only float ops are single ``ln`` calls on
+identical double expressions, which agree bit-for-bit across Spark/DuckDB in
+practice (same class as the verified embedding-cosine quantization).
+
+Scale shape (100 TB):
+* count tables that are vocabulary-sized (document frequency, unigram
+  contexts, B hash buckets) broadcast; corpus-sized streams never collect.
+* bigram count tables are corpus-bounded, so the pair-lookup join is a plain
+  shuffle hash join on (a, b) — AQE may downgrade it to broadcast at small
+  scale; at 100 TB the shuffle is the correct plan.
+* per-doc re-aggregation groups by doc id — one exchange keyed by the same
+  column the explode preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# mirror constants of functions/text.py's shingle fold (kept literal here so
+# the SQL oracles can interpolate them without importing Spark code)
+SH_MULT = 1_000_003
+SH_MOD = 2_147_483_647
+
+
+def _quant(col, scale: int):
+    """round-half-up(col * scale) as BIGINT — the engine-portable quantizer
+    (floor(x*s + 0.5); identical expression on the DuckDB side)."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def tf_idf(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-(doc, term) tf-idf over token-id sequences.
+
+    Returns (doc_col, tok, tf, df, tfidf_q) where tf = occurrences of tok in
+    the doc, df = number of docs containing tok, and
+    ``tfidf_q = round(tf * ln(n_docs / df) * quant)`` as BIGINT.
+
+    Plan: explode -> groupBy(doc, tok) [the one corpus-sized exchange]
+    -> document frequency from the (doc, tok) table itself (vocab-sized,
+    broadcast back) -> n_docs as a scalar aggregate crossJoined in (1-row
+    broadcast). No driver collect of data rows.
+    """
+    ex = df.select(F.col(doc_col).alias("__doc"), F.explode(tokens_col).alias("tok"))
+    tfd = ex.groupBy("__doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfd = tfd.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    out = tfd.join(F.broadcast(dfd), "tok").crossJoin(F.broadcast(n))
+    tfidf = F.col("tf").cast("double") * F.log(
+        F.col("__n").cast("double") / F.col("df").cast("double")
+    )
+    return out.select(
+        F.col("__doc").alias(doc_col),
+        "tok",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        _quant(tfidf, quant).alias("tfidf_q"),
+    )
+
+
+def _pairs(df: DataFrame, doc_col: str, tokens_col: str) -> DataFrame:
+    """(doc, a, b) for every adjacent token pair — narrow columnar explode."""
+    toks = F.col(tokens_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+    return df.select(
+        F.col(doc_col).alias("__doc"), F.explode(pairs).alias("p")
+    ).select("__doc", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
+def bigram_lm_loglik(
+    train: DataFrame,
+    score: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Add-one-smoothed bigram LM trained on ``train``, applied to ``score``.
+
+    For each adjacent pair (a, b) in a scoring doc the term is
+    ``ln((C(a,b) + 1) / (Ctx(a) + V))`` where C = train bigram count,
+    Ctx(a) = sum_b C(a, b) (occurrences of a as a context), and V = train
+    unigram type count; unseen pairs/contexts coalesce to 0 (add-one keeps
+    the probability proper). Each term is quantized to ``1/quant`` units
+    (BIGINT) BEFORE summation, so the per-doc sum is exact.
+
+    Returns (doc_col, n_bigrams, ll_q). Docs with < 2 tokens yield no pairs
+    and are absent — same convention as the SQL mirror.
+    """
+    bi = (
+        _pairs(train, doc_col, tokens_col)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    ctx = bi.groupBy("a").agg(F.sum("cab").alias("ctxn"))
+    v = train.select(F.explode(tokens_col).alias("t")).agg(
+        F.count_distinct("t").alias("__v")
+    )
+    sp = (
+        _pairs(score, doc_col, tokens_col)
+        .join(bi, ["a", "b"], "left")
+        .join(F.broadcast(ctx), ["a"], "left")
+        .crossJoin(F.broadcast(v))
+    )
+    term = F.log(
+        (F.coalesce(F.col("cab"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.coalesce(F.col("ctxn"), F.lit(0)).cast("double") + F.col("__v").cast("double"))
+    )
+    return (
+        sp.select(F.col("__doc"), _quant(term, quant).alias("__t"))
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("__t").alias("ll_q"))
+        .select(F.col("__doc").alias(doc_col), "n_bigrams", "ll_q")
+    )
+
+
+def shingle_bucket_col(tokens_col: str, k: int, n_buckets: int):
+    """Hashed k-gram feature ids: the shingle fold
+    ``acc = (acc * SH_MULT + tok + 1) mod SH_MOD`` over k consecutive tokens,
+    bucketed mod ``n_buckets``. Array-side (no shuffle); empty when the
+    sequence is shorter than k."""
+    toks = F.col(tokens_col)
+
+    def sh(i):
+        acc = F.lit(0).cast("long")
+        for j in range(k):
+            acc = (acc * SH_MULT + F.get(toks, i + j).cast("long") + 1) % SH_MOD
+        return (acc % n_buckets).cast("int")
+
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - k), sh),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def importance_weights(
+    df: DataFrame,
+    target_pred,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 2,
+    n_buckets: int = 1024,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """DSIR hashed n-gram importance weight of every doc in ``df`` toward the
+    target domain ``target_pred`` (a boolean Column over ``df``'s rows).
+
+    Per hashed-k-gram bucket f the log-ratio is
+    ``ln((t_f + 1) / (T + B)) - ln((r_f + 1) / (R + B))`` with t/r the
+    target/raw bucket counts, T/R their totals and B = n_buckets (add-one
+    over the bucket domain). A doc's weight is the sum of the quantized
+    log-ratios of its features; resampling keeps the top-weighted docs.
+
+    Plan: one narrow feature explode feeds BOTH frequency tables (target
+    rows are flag-filtered, not re-scanned); the bucket table (<= B rows)
+    broadcasts back onto the same exploded stream; per-doc sum groups by doc
+    id. Returns (doc_col, n_feats, w_q).
+    """
+    feats = df.select(
+        F.col(doc_col).alias("__doc"),
+        target_pred.alias("__tgt"),
+        F.explode(shingle_bucket_col(tokens_col, k, n_buckets)).alias("f"),
+    )
+    buckets = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("t"),
+    )
+    totals = buckets.agg(
+        F.sum("r").alias("__R"), F.sum("t").alias("__T")
+    )
+    ratio = buckets.crossJoin(F.broadcast(totals)).select(
+        "f",
+        _quant(
+            F.log(
+                (F.col("t").cast("double") + F.lit(1.0))
+                / (F.col("__T").cast("double") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("r").cast("double") + F.lit(1.0))
+                / (F.col("__R").cast("double") + F.lit(float(n_buckets)))
+            ),
+            quant,
+        ).alias("__lr"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "f")
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("__lr").alias("w_q"))
+        .select(F.col("__doc").alias(doc_col), "n_feats", "w_q")
+    )

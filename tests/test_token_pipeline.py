@@ -385,3 +385,126 @@ def test_pack_segments_property_random(spark):
     )
     with _pytest.raises(ValueError, match="NULL"):
         pack_segments(bad, "doc_id", "n_tok", 8, "part", n_chunks=2)
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics scoring (operators/scoring.py)
+# ---------------------------------------------------------------------------
+
+_SCORE_DOCS = [
+    (0, [1, 2, 3, 2], "en"),
+    (1, [2, 2, 2], "en"),
+    (2, [3, 1], "de"),
+    (3, [4], "de"),
+    (4, [1, 2, 1, 2, 5], "en"),
+    (5, [5, 5, 2, 3], "de"),
+]
+
+
+def _score_df(spark):
+    return spark.createDataFrame(
+        _SCORE_DOCS, "doc_id long, tokens array<int>, lang string"
+    )
+
+
+def test_tf_idf_matches_python(spark):
+    """tf/df counts and the quantized weight agree with a direct model."""
+    import math
+
+    from marmot_spark.operators.scoring import tf_idf
+
+    got = {(r["doc_id"], r["tok"]): (r["tf"], r["df"], r["tfidf_q"])
+           for r in tf_idf(_score_df(spark)).collect()}
+    n = len(_SCORE_DOCS)
+    dfc: dict = {}
+    for _, toks, _l in _SCORE_DOCS:
+        for t in set(toks):
+            dfc[t] = dfc.get(t, 0) + 1
+    want = {}
+    for d, toks, _l in _SCORE_DOCS:
+        for t in set(toks):
+            tf = toks.count(t)
+            q = math.floor(tf * math.log(n / dfc[t]) * 1000.0 + 0.5)
+            want[(d, t)] = (tf, dfc[t], q)
+    assert got == want
+
+
+def test_bigram_lm_loglik_matches_python(spark):
+    """Add-one bigram LM: exact integer micro-unit log-liks, unseen pairs and
+    unseen contexts coalesce through the same smoothing as the model."""
+    import math
+
+    from marmot_spark.operators.scoring import bigram_lm_loglik
+
+    df = _score_df(spark)
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    score = df.filter(F.col("doc_id") % 2 == 1)
+    got = {r["doc_id"]: (r["n_bigrams"], r["ll_q"])
+           for r in bigram_lm_loglik(train, score).collect()}
+
+    tr = [toks for d, toks, _l in _SCORE_DOCS if d % 2 == 0]
+    bi: dict = {}
+    for toks in tr:
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    ctx: dict = {}
+    for (a, _b), c in bi.items():
+        ctx[a] = ctx.get(a, 0) + c
+    vocab = len({t for toks in tr for t in toks})
+    want = {}
+    for d, toks, _l in _SCORE_DOCS:
+        if d % 2 == 0 or len(toks) < 2:
+            continue
+        terms = [
+            math.floor(
+                math.log((bi.get((a, b), 0) + 1.0) / (ctx.get(a, 0) + float(vocab)))
+                * 1e6 + 0.5
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        want[d] = (len(terms), sum(terms))
+    assert got == want
+
+
+def test_importance_weights_matches_python(spark):
+    """DSIR hashed-bigram log-ratio weights: bucket counts, totals and the
+    per-doc integer sums agree with a direct model (target = lang 'en')."""
+    import math
+
+    from marmot_spark.operators.scoring import SH_MOD, SH_MULT, importance_weights
+
+    B = 64
+    got = {r["doc_id"]: (r["n_feats"], r["w_q"])
+           for r in importance_weights(
+               _score_df(spark), F.col("lang") == "en", k=2, n_buckets=B
+           ).collect()}
+
+    def feats(toks):
+        out = []
+        for a, b in zip(toks, toks[1:]):
+            acc = (a + 1) % SH_MOD
+            acc = (acc * SH_MULT + b + 1) % SH_MOD
+            out.append(acc % B)
+        return out
+
+    raw: dict = {}
+    tgt: dict = {}
+    for _d, toks, lang in _SCORE_DOCS:
+        for f in feats(toks):
+            raw[f] = raw.get(f, 0) + 1
+            if lang == "en":
+                tgt[f] = tgt.get(f, 0) + 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    lr = {
+        f: math.floor(
+            (math.log((tgt.get(f, 0) + 1.0) / (T + float(B)))
+             - math.log((r + 1.0) / (R + float(B)))) * 1e6 + 0.5
+        )
+        for f, r in raw.items()
+    }
+    want = {}
+    for d, toks, _l in _SCORE_DOCS:
+        fs = feats(toks)
+        if fs:
+            want[d] = (len(fs), sum(lr[f] for f in fs))
+    assert got == want
