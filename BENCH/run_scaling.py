@@ -155,7 +155,7 @@ Raw runs:
 {json.dumps({f'local{n_a}': ra, f'local{n_b}': rb}, indent=1)}
 ```
 """
-    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out = os.environ.get("SCALING_OUT", os.path.join(REPO, "BENCH", "BASELINE.md"))
     with open(out, "w") as f:
         f.write(md)
     print(f"\nefficiency={eff:.3f} -> {out}")

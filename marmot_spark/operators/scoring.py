@@ -182,10 +182,13 @@ def importance_weights(
     over the bucket domain). A doc's weight is the sum of the quantized
     log-ratios of its features; resampling keeps the top-weighted docs.
 
-    Plan: one narrow feature explode feeds BOTH frequency tables (target
-    rows are flag-filtered, not re-scanned); the bucket table (<= B rows)
-    broadcasts back onto the same exploded stream; per-doc sum groups by doc
-    id. Returns (doc_col, n_feats, w_q).
+    Plan: the feature explode is a narrow projection consumed twice — once
+    by the bucket aggregation (target rows flag-filtered there, not
+    re-scanned through a second source) and once by the scoring join; both
+    consumers re-derive it from the scan (cheap columnar work; persist the
+    exploded frame if the source scan itself is the expensive part). The
+    bucket table (<= B rows) broadcasts; per-doc sum groups by doc id.
+    Returns (doc_col, n_feats, w_q).
     """
     feats = df.select(
         F.col(doc_col).alias("__doc"),
