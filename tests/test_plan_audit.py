@@ -276,3 +276,22 @@ def test_detect_hot_keys_single_scan(spark, sf_dir):
     assert "ReusedExchange" in frame._jdf.queryExecution().executedPlan().toString()
     # empty input -> no keys, no crash
     assert detect_hot_keys(ev.filter(F.lit(False)), "user_id") == []
+
+
+def test_scoring_plans_broadcast_small_tables(spark, sf_dir):
+    """Scale shape of the scoring operators: every vocabulary/bucket-sized
+    lookup (document frequency, bigram contexts, V, bucket log-ratios, doc
+    count) joins by BROADCAST — the corpus-sized stream is never on the
+    build side and never sort-merges against a small table. The corpus's own
+    exchanges are hash-partitioned on (doc, tok)/(a, b)/doc keys only (the
+    registry-wide SinglePartition gate covers the rest)."""
+    import __spark_entry__ as e
+
+    for name, want_bcast in [
+        ("text_tfidf", 2),           # dfd + n_docs
+        ("importance_weights", 2),   # ratio + totals
+        ("lm_score_bigram", 2),      # ctx + V (pair counts may shuffle-join)
+    ]:
+        plan = plan_of(e.queries()[name](spark, sf_dir))
+        assert plan.count("BroadcastExchange") >= want_bcast, (name, plan)
+        assert "SortMergeJoin" not in plan, name
