@@ -1676,6 +1676,59 @@ WHERE end_us <= (SELECT epoch_us(m) FROM bounds) - 432000000000
 """
 
 
+def _q_streaming_dedup(spark, sf):
+    """Streaming exact dedup, end to end
+    (streaming/stream.py::streaming_dedup): two micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered) — (A) the full events table,
+    (B) an exact REPLAY of every seventh user's events. With the 90-day
+    watermark (> the table's 30-day span) no dedup state evicts during the
+    run, so dropDuplicatesWithinWatermark must drop ALL of batch B: the
+    drained sink equals the batch-distinct oracle exactly. The state store
+    is bounded by keys-per-watermark-horizon, not stream length — the
+    property that makes this viable on an unbounded feed."""
+    import os
+
+    import pandas as pd
+
+    ev_pd = pd.read_parquet(f"{sf}/events.parquet")
+    d = _fresh_tmpdir("stream_dedup", sf)
+    dup = ev_pd[ev_pd["user_id"] % 7 == 0]
+    for i, (name, part) in enumerate([("a_full", ev_pd), ("b_replay", dup)]):
+        p = os.path.join(d, f"{name}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    from marmot_spark.streaming.stream import streaming_dedup
+
+    schema = _events(spark, sf).schema
+    src = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(d)
+    )
+    out = streaming_dedup(src, ["event_id"], ts="ts", watermark="90 days")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName("stream_dedup_q")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_dedup_q").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        _cents("value").alias("value_c"),
+    )
+
+
+_SQL_STREAM_DEDUP = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  {_CENTS_SQL.format(c='value')} AS value_c
+FROM events
+"""
+
+
 def _q_streaming_stateful_totals(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running (n_events, sum_value_c) in GroupState, update mode. The source is
@@ -2293,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_late_data": _q_streaming_late_data,
         "streaming_stateful_totals": _q_streaming_stateful_totals,
+        "streaming_dedup": _q_streaming_dedup,
         "j6_lookup_polysemy": _q_j6_lookup_polysemy,
         "checkpoint_lineage": _q_checkpoint_lineage,
         "split_assign": _q_split_assign,
@@ -2371,6 +2425,7 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
   CAST(sum({_CENTS_SQL.format(c='value')}) AS BIGINT) AS sum_value_c
 FROM events GROUP BY user_id
 """,
+        "streaming_dedup": _SQL_STREAM_DEDUP,
         "j6_lookup_polysemy": _SQL_J6,
         "checkpoint_lineage": _SQL_CKPT_LINEAGE,
         "split_assign": _sql_split_assign(),

@@ -123,3 +123,24 @@ def streaming_session_counts(
             "sum_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "90 days",
+) -> DataFrame:
+    """Streaming exact deduplication — the incremental counterpart of the
+    batch ``dedup.exact`` pass: the first event per key set is emitted, later
+    replays are dropped. State holds one entry per key and is EVICTED once
+    the event-time watermark passes (``dropDuplicatesWithinWatermark``), so
+    the state store is bounded by the key arrival rate times the watermark
+    horizon rather than growing with the whole stream — the property that
+    makes streaming dedup viable on an unbounded 10^12-event feed. Choose
+    ``watermark`` >= the maximum replay lag; duplicates straggling beyond it
+    are no longer guaranteed dropped (that tail belongs to the batch dedup
+    backstop)."""
+    if dict(events.dtypes)[ts] == "timestamp_ntz":
+        events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

@@ -850,3 +850,40 @@ def test_operators_on_empty_and_degenerate_inputs(spark):
     assert sorted(x["session_id"] for x in s) == [1, 1]  # same ts -> one session
     rc = rolling_count(one, "source", "seq_ts", 3600, "rn").collect()
     assert sorted(x["rn"] for x in rc) == [2, 2]  # RANGE peers share the frame
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark wrapper: duplicates WITHIN a batch and
+    exact replays in a LATER batch are both dropped; the drained sink equals
+    the distinct key set. Watermark exceeds the data span, so no state
+    evicts mid-run (the exactness precondition the operator documents)."""
+    import datetime as dt
+    import os
+
+    from marmot_spark.streaming.stream import streaming_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    rows_a = [(i, base + dt.timedelta(hours=i)) for i in range(20)]
+    rows_a += rows_a[:5]  # in-batch duplicates
+    rows_b = [(i, base + dt.timedelta(hours=i)) for i in range(0, 20, 2)]  # replay
+    d = tmp_path / "dedup_stream"
+    os.makedirs(d)
+    df_a = spark.createDataFrame(rows_a, "k long, ts timestamp")
+    df_b = spark.createDataFrame(rows_b, "k long, ts timestamp")
+    df_a.toPandas().to_parquet(str(d / "a.parquet"), index=False, coerce_timestamps="us")
+    df_b.toPandas().to_parquet(str(d / "b.parquet"), index=False, coerce_timestamps="us")
+    os.utime(d / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(d / "b.parquet", (1_000_100, 1_000_100))
+
+    src = (
+        spark.readStream.format("parquet").schema(df_a.schema)
+        .option("maxFilesPerTrigger", "1").load(str(d))
+    )
+    out = streaming_dedup(src, ["k"], ts="ts", watermark="365 days")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_unit_q")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r["k"] for r in spark.table("dedup_unit_q").collect())
+    assert got == list(range(20))
