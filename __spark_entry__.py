@@ -2288,6 +2288,62 @@ FROM feats JOIN ratio USING (f) GROUP BY doc_id
 """
 
 
+def _q_f9_discretize(spark, sf):
+    """Exact equal-frequency (quantile) binning of n_chars into 8 buckets
+    (operators/rank.py::quantile_buckets): bucket = floor(cum_lt * 8 / n)
+    over the exact distributed CDF — ties share a bucket, and the only
+    ranked structure is the distinct-value histogram (octave-decomposed,
+    never a global ntile sort). The oracle's window computes the same
+    strictly-below cumulative count directly."""
+    from marmot_spark.operators.rank import quantile_buckets
+
+    docs = _tbl(spark, sf, "documents").select("doc_id", "n_chars")
+    return quantile_buckets(docs, "n_chars", 8, keep=["doc_id"]).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+
+
+_SQL_F9 = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+    CAST(count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS BIGINT) AS cum_lt,
+    (SELECT count(*) FROM documents) AS n
+  FROM documents)
+SELECT doc_id, n_chars, CAST(floor(cum_lt * 8 / n) AS INT) AS bucket FROM c
+"""
+
+
+def _q_a8_corr_stats(spark, sf):
+    """Exact second-moment statistics between document length (n_chars) and
+    token count: one global aggregate emitting the raw BIGINT sums
+    (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) — the sufficient statistics of
+    Pearson correlation as exact integers (a float corr would be
+    summation-order dependent; from these sums any engine derives the same
+    correlation deterministically)."""
+    docs = _docs(spark, sf)
+    x = F.col("n_chars").cast("long")
+    y = F.size("tokens").cast("long")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x"), F.sum(y).alias("sum_y"),
+        F.sum(x * x).alias("sum_xx"), F.sum(y * y).alias("sum_yy"),
+        F.sum(x * y).alias("sum_xy"),
+    )
+
+
+_SQL_A8 = f"""
+WITH {DOCS_T},
+m AS (SELECT n_chars AS x, length(tokens) AS y FROM docs_t)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+  CAST(sum(x*x) AS BIGINT) AS sum_xx, CAST(sum(y*y) AS BIGINT) AS sum_yy,
+  CAST(sum(x*y) AS BIGINT) AS sum_xy
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
@@ -2360,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "lm_score_bigram": _q_lm_score_bigram,
         "importance_weights": _q_importance_weights,
+        "f9_discretize": _q_f9_discretize,
+        "a8_corr_stats": _q_a8_corr_stats,
     }
 
 
@@ -2439,4 +2497,6 @@ FROM events GROUP BY user_id
         "text_tfidf": _SQL_TFIDF,
         "lm_score_bigram": _SQL_LM_SCORE,
         "importance_weights": _sql_importance_weights(),
+        "f9_discretize": _SQL_F9,
+        "a8_corr_stats": _SQL_A8,
     }

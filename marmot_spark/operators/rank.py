@@ -106,3 +106,75 @@ def frequency_rank(
             (F.col("__off") + F.row_number().over(w_in)).cast("long").alias(out_col),
         )
     )
+
+
+def cumulative_below(
+    hist: DataFrame,
+    val_col: str,
+    cnt_col: str,
+    out_col: str = "cum_lt",
+) -> DataFrame:
+    """(value, cnt) histogram -> (value, cnt, cum_lt) where ``cum_lt`` =
+    total cnt over STRICTLY SMALLER values — the exact distributed CDF,
+    with the same no-global-sort decomposition as ``frequency_rank``:
+
+        cum_lt(v) = A(octave(v)) + within-octave prefix over the histogram
+
+    ``A`` (total weight of all smaller octaves) is a driver prefix over a
+    <= 64-row per-octave collect (bounded plan metadata); the within-octave
+    prefix is a window PARTITIONED by octave over histogram rows only.
+    Values must be non-negative integers (octave = binary length).
+    """
+    c = F.col(cnt_col).cast("long")
+    oct_ = F.when(
+        F.col(val_col) == 0, F.lit(0)
+    ).otherwise(F.length(F.conv(F.col(val_col).cast("string"), 10, 2))).cast("int")
+    base = hist.select(
+        F.col(val_col).alias("__v"), c.alias("__c"), oct_.alias("__oct")
+    )
+    oct_tot = {int(r["__oct"]): int(r["__t"]) for r in
+               base.groupBy("__oct").agg(F.sum("__c").alias("__t")).collect()}
+    lower = {o: sum(t for oo, t in oct_tot.items() if oo < o) for o in oct_tot}
+    lower_expr = F.lit(0).cast("long")
+    for o, t in lower.items():
+        if t:
+            lower_expr = F.when(F.col("__oct") == o, F.lit(t)).otherwise(lower_expr)
+    w_oct = (
+        Window.partitionBy("__oct")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        F.col("__v").alias(val_col),
+        F.col("__c").alias(cnt_col),
+        (lower_expr + F.sum("__c").over(w_oct) - F.col("__c")).alias(out_col),
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    val_col: str,
+    n_buckets: int,
+    keep: list[str] | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact equal-frequency (quantile) binning of a non-negative integer
+    column: ``bucket = floor(cum_lt(value) * n_buckets / n_rows)`` — ties
+    (equal values) always land in the same bucket, so the assignment is
+    deterministic and total-order-free. The histogram (one row per DISTINCT
+    value) is the only structure ranked; rows re-join it by value
+    (vocabulary-shaped broadcast). No global sort anywhere (the classic
+    ntile() plans an Exchange SinglePartition).
+
+    The histogram subtree executes up to three times (octave collect, bucket
+    build, row count) — like ``frequency_rank``, persist the input upstream
+    when its scan is the expensive part."""
+    hist = df.groupBy(F.col(val_col)).agg(F.count(F.lit(1)).alias("__n"))
+    cum = cumulative_below(hist, val_col, "__n")
+    total = df.count()
+    buckets = cum.select(
+        val_col,
+        (F.col("cum_lt") * n_buckets / F.lit(int(total))).cast("int").alias(out_col),
+    )
+    cols = list(keep) if keep else [c for c in df.columns if c != val_col]
+    return df.join(F.broadcast(buckets), val_col).select(val_col, out_col, *cols)

@@ -887,3 +887,28 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["k"] for r in spark.table("dedup_unit_q").collect())
     assert got == list(range(20))
+
+
+def test_quantile_buckets_matches_model(spark):
+    """Exact CDF binning: bucket = floor(cum_lt * k / n) with ties sharing a
+    bucket, against a direct python model over a skewed random value set
+    (zeros, heavy ties, octave boundaries at powers of two)."""
+    import random
+
+    from marmot_spark.operators.rank import quantile_buckets
+
+    rng = random.Random(11)
+    vals = (
+        [0] * 17 + [1, 2, 3, 4] * 5 + [255, 256, 257] * 7
+        + [rng.randrange(0, 5000) for _ in range(400)]
+    )
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    for k in (4, 8, 10):
+        got = {r["doc_id"]: r["bucket"]
+               for r in quantile_buckets(df, "v", k, keep=["doc_id"]).collect()}
+        n = len(vals)
+        cum_lt = {v: sum(1 for w in vals if w < v) for v in set(vals)}
+        want = {i: int(cum_lt[v] * k / n) for i, v in rows}
+        assert got == want, f"k={k}"
+        assert all(0 <= b < k for b in got.values())
