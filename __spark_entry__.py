@@ -2288,6 +2288,55 @@ FROM feats JOIN ratio USING (f) GROUP BY doc_id
 """
 
 
+def _q_a9_pmi_collocations(spark, sf):
+    """Collocation extraction by pointwise mutual information: for every
+    adjacent token pair seen >= 3 times, pmi = ln(P(a,b) / (P(a)P(b))) over
+    the corpus's adjacency distribution — the classic MT/LM collocation
+    feature. All probabilities share one denominator (total pair count), so
+    pmi = ln((cab * n) / (ca * cb)) with ca/cb = occurrences as left/right
+    member; quantized to micro units (single ln on an exact rational — the
+    deterministic-hash contract of scoring.py). Pair counts are one
+    vocabulary-bounded exchange; the marginals are vocab-sized broadcasts."""
+    from marmot_spark.operators.scoring import _pairs
+
+    pairs = _pairs(_docs(spark, sf), "doc_id", "tokens")
+    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    left = bi.groupBy("a").agg(F.sum("cab").alias("ca"))
+    right = bi.groupBy("b").agg(F.sum("cab").alias("cb"))
+    tot = bi.agg(F.sum("cab").alias("__n"))
+    return (
+        bi.filter(F.col("cab") >= 3)
+        .join(F.broadcast(left), "a").join(F.broadcast(right), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a", "b", F.col("cab").cast("long").alias("cab"),
+            F.floor(
+                F.log(
+                    (F.col("cab").cast("double") * F.col("__n").cast("double"))
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("pmi_q"),
+        )
+    )
+
+
+_SQL_A9 = f"""
+WITH {DOCS_T},
+p AS (SELECT tokens[CAST(u.i AS INT)+1] AS a, tokens[CAST(u.i AS INT)+2] AS b
+      FROM docs_t, UNNEST(range(length(tokens)-1)) AS u(i)),
+bi AS (SELECT a, b, count(*) AS cab FROM p GROUP BY a, b),
+l AS (SELECT a, sum(cab) AS ca FROM bi GROUP BY a),
+r AS (SELECT b, sum(cab) AS cb FROM bi GROUP BY b),
+n AS (SELECT sum(cab) AS n FROM bi)
+SELECT bi.a, bi.b, CAST(bi.cab AS BIGINT) AS cab,
+  CAST(floor(ln((CAST(bi.cab AS DOUBLE) * CAST(n.n AS DOUBLE))
+                / (CAST(l.ca AS DOUBLE) * CAST(r.cb AS DOUBLE)))
+             * 1000000.0 + 0.5) AS BIGINT) AS pmi_q
+FROM bi JOIN l USING (a) JOIN r USING (b), n
+WHERE bi.cab >= 3
+"""
+
+
 def _q_f9_discretize(spark, sf):
     """Exact equal-frequency (quantile) binning of n_chars into 8 buckets
     (operators/rank.py::quantile_buckets): bucket = floor(cum_lt * 8 / n)
@@ -2418,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": _q_importance_weights,
         "f9_discretize": _q_f9_discretize,
         "a8_corr_stats": _q_a8_corr_stats,
+        "a9_pmi_collocations": _q_a9_pmi_collocations,
     }
 
 
@@ -2499,4 +2549,5 @@ FROM events GROUP BY user_id
         "importance_weights": _sql_importance_weights(),
         "f9_discretize": _SQL_F9,
         "a8_corr_stats": _SQL_A8,
+        "a9_pmi_collocations": _SQL_A9,
     }
