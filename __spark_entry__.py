@@ -140,8 +140,16 @@ def _fresh_tmpdir(key: str, sf: str) -> str:
     now = time.time()
     for sib in glob.glob(os.path.join(tempfile.gettempdir(), f"{stem}_*")):
         try:
-            if sib == d or now - os.path.getmtime(sib) > 3600:
-                shutil.rmtree(sib, ignore_errors=True)
+            if sib != d:
+                # reap only when the owning pid is DEAD (mtime alone raced: a
+                # >1h streaming query on this steal-prone host would lose its
+                # input files to a concurrently started run). The >24h mtime
+                # backstop covers pid reuse making a dead run's dir look live.
+                pid = os.path.basename(sib).rsplit("_", 1)[-1]
+                owner_alive = pid.isdigit() and os.path.exists(f"/proc/{pid}")
+                if owner_alive and now - os.path.getmtime(sib) <= 86400:
+                    continue
+            shutil.rmtree(sib, ignore_errors=True)
         except OSError:
             pass
     os.makedirs(d)

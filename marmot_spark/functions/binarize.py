@@ -54,7 +54,12 @@ def fit_vocab(df: DataFrame, col: str, max_vocab: int = MAX_VOCAB) -> DataFrame:
     from pyspark.sql import types as T
 
     values = sorted(r["value"] for r in rows)
-    schema = distinct.schema.add("idx", T.IntegerType())
+    # build a FRESH StructType: .add() mutates in place and df.schema is
+    # cached on the DataFrame, so schema.add would corrupt `distinct`'s own
+    # schema (same hazard sources/external.py documents and avoids)
+    schema = T.StructType(
+        list(distinct.schema.fields) + [T.StructField("idx", T.IntegerType())]
+    )
     return distinct.sparkSession.createDataFrame(
         [(v, i) for i, v in enumerate(values)], schema=schema
     )

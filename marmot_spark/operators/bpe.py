@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from marmot_spark.operators.iterative import gc_hint
+
 
 def pair_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """Adjacent-pair frequencies over all sequences: (a, b, cnt)."""
@@ -133,6 +135,7 @@ def train_bpe_merges(
             nxt = cur.select(apply_merge(F.col("__t"), a, b, new_id).alias("__t"))
             if checkpoint_every and (rank + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint(eager=True)  # materializes + truncates lineage
+                gc_hint(nxt)  # see graph.py: reclaim superseded checkpoint copies
             else:
                 nxt = nxt.persist()
                 nxt.count()  # materialize so unpersisting cur is safe

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from marmot_spark.operators.iterative import gc_hint
+
 
 def connected_components(
     edges: DataFrame,
@@ -70,6 +72,13 @@ def connected_components(
             )
             if checkpoint_every and (it + 1) % checkpoint_every == 0:
                 new = new.localCheckpoint(eager=True)
+                # DataFrame.unpersist is a no-op on a checkpointed frame's
+                # internal RDD; dropping the python ref alone leaves each
+                # full label-set copy in the block manager until the
+                # ContextCleaner's next periodic GC. A driver-side GC hint at
+                # checkpoint boundaries (every k rounds, not per round) lets
+                # the cleaner reclaim the previous copies promptly.
+                gc_hint(new)
             else:
                 new = new.persist()
                 new.count()

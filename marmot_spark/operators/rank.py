@@ -123,7 +123,10 @@ def cumulative_below(
     ``A`` (total weight of all smaller octaves) is a driver prefix over a
     <= 64-row per-octave collect (bounded plan metadata); the within-octave
     prefix is a window PARTITIONED by octave over histogram rows only.
-    Values must be non-negative integers (octave = binary length).
+    Values must be non-negative integers (octave = binary length); NULL or
+    negative values raise (NULLs would vanish into a None octave, negatives
+    would two's-complement into octave 64 and silently sort above
+    everything) — both checked for free off the octave collect.
     """
     c = F.col(cnt_col).cast("long")
     oct_ = F.when(
@@ -132,8 +135,14 @@ def cumulative_below(
     base = hist.select(
         F.col(val_col).alias("__v"), c.alias("__c"), oct_.alias("__oct")
     )
-    oct_tot = {int(r["__oct"]): int(r["__t"]) for r in
-               base.groupBy("__oct").agg(F.sum("__c").alias("__t")).collect()}
+    rows = base.groupBy("__oct").agg(
+        F.sum("__c").alias("__t"), F.min("__v").alias("__mn")
+    ).collect()
+    if any(r["__oct"] is None for r in rows):
+        raise ValueError(f"cumulative_below({val_col!r}): NULL values in the histogram")
+    if any(r["__mn"] is not None and r["__mn"] < 0 for r in rows):
+        raise ValueError(f"cumulative_below({val_col!r}): negative values unsupported")
+    oct_tot = {int(r["__oct"]): int(r["__t"]) for r in rows}
     lower = {o: sum(t for oo, t in oct_tot.items() if oo < o) for o in oct_tot}
     lower_expr = F.lit(0).cast("long")
     for o, t in lower.items():
@@ -172,9 +181,13 @@ def quantile_buckets(
     hist = df.groupBy(F.col(val_col)).agg(F.count(F.lit(1)).alias("__n"))
     cum = cumulative_below(hist, val_col, "__n")
     total = df.count()
+    # integral division (DIV), not double division: cum_lt * n_buckets can
+    # exceed 2^53 at the design scale (10^12 rows x 10^4 buckets), where a
+    # rounded double quotient can cross an integer boundary and misassign a
+    # bucket by one; long DIV keeps the "exact" claim true at any scale
     buckets = cum.select(
         val_col,
-        (F.col("cum_lt") * n_buckets / F.lit(int(total))).cast("int").alias(out_col),
+        F.expr(f"CAST((cum_lt * {int(n_buckets)}) DIV {int(total)} AS INT)").alias(out_col),
     )
     cols = list(keep) if keep else [c for c in df.columns if c != val_col]
     return df.join(F.broadcast(buckets), val_col).select(val_col, out_col, *cols)

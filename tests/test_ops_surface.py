@@ -909,6 +909,16 @@ def test_quantile_buckets_matches_model(spark):
                for r in quantile_buckets(df, "v", k, keep=["doc_id"]).collect()}
         n = len(vals)
         cum_lt = {v: sum(1 for w in vals if w < v) for v in set(vals)}
-        want = {i: int(cum_lt[v] * k / n) for i, v in rows}
+        want = {i: (cum_lt[v] * k) // n for i, v in rows}  # exact long DIV, like the operator
         assert got == want, f"k={k}"
         assert all(0 <= b < k for b in got.values())
+
+    # NULL and negative values must raise, not silently mis-bucket
+    import pytest as _pytest
+
+    bad_null = spark.createDataFrame([(1, 5), (2, None)], "doc_id long, v long")
+    with _pytest.raises(ValueError, match="NULL"):
+        quantile_buckets(bad_null, "v", 4, keep=["doc_id"])
+    bad_neg = spark.createDataFrame([(1, 5), (2, -3)], "doc_id long, v long")
+    with _pytest.raises(ValueError, match="negative"):
+        quantile_buckets(bad_neg, "v", 4, keep=["doc_id"])
