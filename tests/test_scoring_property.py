@@ -1,0 +1,115 @@
+"""Property-based differential tests for the round-4 statistics operators.
+
+Random multisets/corpora — empty docs, all-ties value columns, singleton
+vocabularies, degenerate splits — checked against direct python models. The
+Spark side must agree EXACTLY (all outputs are integers by the operators'
+quantization contract), for any random shape hypothesis generates.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from marmot_spark.operators.rank import quantile_buckets
+from marmot_spark.operators.scoring import bigram_lm_loglik, tf_idf
+
+# module-scoped handle set by the autouse fixture: @given may not take the
+# pytest `spark` fixture directly (function-scoped fixtures vs hypothesis)
+_SPARK = {}
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    _SPARK["s"] = spark
+    yield
+
+
+VALS = st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=60)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=VALS, k=st.integers(min_value=1, max_value=9))
+def test_quantile_buckets_property(vals, k):
+    spark = _SPARK["s"]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    got = {r["doc_id"]: r["bucket"]
+           for r in quantile_buckets(df, "v", k, keep=["doc_id"]).collect()}
+    n = len(vals)
+    cum = {v: sum(1 for w in vals if w < v) for v in set(vals)}
+    assert got == {i: (cum[v] * k) // n for i, v in rows}
+    # buckets are monotone in value and within range
+    by_val = sorted((v, b) for (i, v), b in zip(rows, [got[i] for i, _ in rows]))
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(by_val, by_val[1:]))
+    assert all(0 <= b < k for _, b in by_val)
+
+
+DOCS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=12),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=DOCS)
+def test_tf_idf_property(docs):
+    spark = _SPARK["s"]
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {(r["doc_id"], r["tok"]): (r["tf"], r["df"], r["tfidf_q"])
+           for r in tf_idf(df).collect()}
+    n = len(docs)
+    dfc: dict = {}
+    for toks in docs:
+        for t in set(toks):
+            dfc[t] = dfc.get(t, 0) + 1
+    want = {}
+    for i, toks in rows:
+        for t in set(toks):
+            tf = toks.count(t)
+            want[(i, t)] = (tf, dfc[t], math.floor(tf * math.log(n / dfc[t]) * 1000.0 + 0.5))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=DOCS, mod=st.integers(min_value=2, max_value=4))
+def test_bigram_lm_property(docs, mod):
+    from hypothesis import assume
+
+    # an empty-train vocabulary (V = 0) makes the smoothed probability
+    # undefined — out of the operator's contract, so constrain the generator
+    assume(any(toks for i, toks in enumerate(docs) if i % mod != 0))
+    spark = _SPARK["s"]
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    train = df.filter(F.col("doc_id") % mod != 0)
+    score = df.filter(F.col("doc_id") % mod == 0)
+    got = {r["doc_id"]: (r["n_bigrams"], r["ll_q"])
+           for r in bigram_lm_loglik(train, score).collect()}
+
+    tr = [toks for i, toks in rows if i % mod != 0]
+    bi: dict = {}
+    for toks in tr:
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    ctx: dict = {}
+    for (a, _b), c in bi.items():
+        ctx[a] = ctx.get(a, 0) + c
+    vocab = len({t for toks in tr for t in toks})
+    want = {}
+    for i, toks in rows:
+        if i % mod == 0 and len(toks) >= 2 and vocab > 0:
+            terms = [
+                math.floor(
+                    math.log((bi.get((a, b), 0) + 1.0) / (ctx.get(a, 0) + float(vocab)))
+                    * 1e6 + 0.5)
+                for a, b in zip(toks, toks[1:])
+            ]
+            want[i] = (len(terms), sum(terms))
+    assert got == want
