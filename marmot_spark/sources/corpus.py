@@ -79,3 +79,43 @@ def read_alignment_file(spark: SparkSession, path: str, id_prefix: str = "s") ->
             lambda t: F.coalesce(F.element_at(F.col("m"), t), F.array().cast("array<int>")),
         ).alias("align"),
     )
+
+
+def read_conll_tagged(spark: SparkSession, path: str, id_prefix: str = "s") -> DataFrame:
+    """CoNLL-style tagged corpus (S-item extension): one token per line with
+    tab-separated columns ``token<TAB>pos<TAB>label``, sentences separated by
+    blank lines -> (doc_id, tokens, pos_tags, labels, n_tok).
+
+    Sentence recovery is a running count of blank separators: sentence id =
+    number of blank lines at-or-before the row (window ordered by the file's
+    line id, partitioned by a constant — CoNLL files are single-file
+    artifacts read whole; shard multi-gigabyte corpora into per-file reads
+    upstream, like the other single-file adapters here).
+    """
+    from pyspark.sql import Window
+
+    raw = spark.read.text(path).withColumn("__line", F.monotonically_increasing_id())
+    w = Window.orderBy("__line").rowsBetween(Window.unboundedPreceding, 0)
+    marked = raw.select(
+        "__line",
+        F.col("value"),
+        F.sum((F.trim("value") == "").cast("int")).over(w).alias("__sent"),
+    ).filter(F.trim("value") != "")
+    cols = F.split(F.col("value"), "\t")
+    return (
+        marked.select(
+            "__sent", "__line",
+            cols.getItem(0).alias("token"),
+            cols.getItem(1).alias("pos"),
+            cols.getItem(2).alias("label"),
+        )
+        .groupBy("__sent")
+        .agg(F.array_sort(F.collect_list(F.struct("__line", "token", "pos", "label"))).alias("s"))
+        .select(
+            F.format_string(f"{id_prefix}%08d", F.col("__sent")).alias("doc_id"),
+            F.transform("s", lambda x: x["token"]).alias("tokens"),
+            F.transform("s", lambda x: x["pos"]).alias("pos_tags"),
+            F.transform("s", lambda x: x["label"]).alias("labels"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )

@@ -922,3 +922,100 @@ def test_quantile_buckets_matches_model(spark):
     bad_neg = spark.createDataFrame([(1, 5), (2, -3)], "doc_id long, v long")
     with _pytest.raises(ValueError, match="negative"):
         quantile_buckets(bad_neg, "v", 4, keep=["doc_id"])
+
+
+def test_read_conll_tagged(spark, tmp_path):
+    """CoNLL reader: blank-line sentence recovery, position-ordered arrays."""
+    from marmot_spark.sources.corpus import read_conll_tagged
+
+    p = tmp_path / "corpus.conll"
+    p.write_text(
+        "The\tDT\tOK\nquick\tJJ\tOK\nfox\tNN\tBAD\n"
+        "\n"
+        "It\tPRP\tOK\nran\tVBD\tOK\n"
+        "\n"
+        "End\tNN\tBAD\n"
+    )
+    rows = {r["doc_id"]: r for r in read_conll_tagged(spark, str(p)).collect()}
+    assert set(rows) == {"s00000000", "s00000001", "s00000002"}
+    assert rows["s00000000"]["tokens"] == ["The", "quick", "fox"]
+    assert rows["s00000000"]["pos_tags"] == ["DT", "JJ", "NN"]
+    assert rows["s00000000"]["labels"] == ["OK", "OK", "BAD"]
+    assert rows["s00000001"]["tokens"] == ["It", "ran"]
+    assert rows["s00000002"]["n_tok"] == 1
+
+
+def _gdfa_reference(fwd, bwd, n_src, n_tgt, final_and=True):
+    """Independent re-implementation of Moses grow-diag-final(-and) (scan
+    order matched to the operator: (s, t) grid, passes to fixpoint)."""
+    inter = set(fwd) & set(bwd)
+    union = set(fwd) | set(bwd)
+    A = set(inter)
+    while True:
+        added = False
+        for s in range(n_src):
+            for t in range(n_tgt):
+                if (s, t) in A:
+                    # Moses's canonical neighbor order — part of the
+                    # operator's determinism contract (within-pass adds
+                    # change later eligibility, so order matters)
+                    for ds, dt in ((-1, 0), (0, -1), (1, 0), (0, 1),
+                                   (-1, -1), (-1, 1), (1, -1), (1, 1)):
+                        ns, nt = s + ds, t + dt
+                        if (
+                            0 <= ns < n_src and 0 <= nt < n_tgt
+                            and (ns, nt) in union and (ns, nt) not in A
+                            and (
+                                all(x != ns for x, _ in A)
+                                or all(y != nt for _, y in A)
+                            )
+                        ):
+                            A.add((ns, nt))
+                            added = True
+        if not added:
+            break
+    for side in (fwd, bwd):
+        for s, t in sorted(set(side)):
+            if (s, t) in A:
+                continue
+            fs = all(x != s for x, _ in A)
+            ft = all(y != t for _, y in A)
+            if (fs and ft) if final_and else (fs or ft):
+                A.add((s, t))
+    return sorted(A)
+
+
+def test_grow_diag_final_matches_reference(spark):
+    """Symmetrization parity: the operator's python core and the Spark
+    mapInPandas path both match an independently-written Moses reference on
+    random directional link sets; intersection ⊆ result ⊆ union holds."""
+    import random
+
+    from marmot_spark.operators.alignment import grow_diag_final, symmetrize_alignments
+
+    rng = random.Random(5)
+    cases = []
+    for i in range(25):
+        n_src, n_tgt = rng.randrange(1, 8), rng.randrange(1, 8)
+        mk = lambda: sorted({(rng.randrange(n_src), rng.randrange(n_tgt))
+                             for _ in range(rng.randrange(0, 10))})
+        cases.append((i, mk(), mk(), n_src, n_tgt))
+
+    for fa in (True, False):
+        for i, fwd, bwd, ns, nt in cases:
+            got = grow_diag_final(fwd, bwd, ns, nt, final_and=fa)
+            want = _gdfa_reference(fwd, bwd, ns, nt, final_and=fa)
+            assert got == want, (i, fa)
+            inter, union = set(fwd) & set(bwd), set(fwd) | set(bwd)
+            assert inter <= set(got) <= union
+
+    df = spark.createDataFrame(
+        [(i, [{"s": s, "t": t} for s, t in fwd], [{"s": s, "t": t} for s, t in bwd], ns, nt)
+         for i, fwd, bwd, ns, nt in cases],
+        "id long, fwd array<struct<s:int,t:int>>, bwd array<struct<s:int,t:int>>, "
+        "n_src int, n_tgt int",
+    )
+    out = {r["id"]: [(p["s"], p["t"]) for p in r["align_sym"]]
+           for r in symmetrize_alignments(df).collect()}
+    for i, fwd, bwd, ns, nt in cases:
+        assert out[i] == grow_diag_final(fwd, bwd, ns, nt), i
