@@ -124,9 +124,10 @@ def _fresh_tmpdir(key: str, sf: str) -> str:
     The pid suffix prevents two concurrent driver runs from rmtree-ing each
     other; that alone would leak one dir per run forever, so before creating
     our own dir we glob-remove stale SIBLINGS (same key+sf, other pids) whose
-    mtime is >1 h old — old enough that no live driver run can own them. The
-    dir must outlive this function (the returned DataFrame is collected by
-    the caller later), so cleanup-on-exit is not an option here.
+    owning pid is DEAD, plus a >24 h mtime backstop that covers pid reuse
+    making a dead run's dir look live. The dir must outlive this function
+    (the returned DataFrame is collected by the caller later), so
+    cleanup-on-exit is not an option here.
     """
     import glob
     import hashlib

@@ -320,10 +320,30 @@ def build_bloom_words(values: DataFrame, col: str, n_bits: int, n_hashes: int = 
     (word, mask) rows reach the driver. At 10^12 train shingles the executors
     still ship only the fixed-size word table; sizing follows the standard
     m = -n*ln(p)/ln(2)^2 rule (n_bits ~ 10 bits/element for ~1% FP).
+
+    Supported input DOMAIN: values must lie in [0, P31). Outside it the JVM
+    int64 multiply in ``_hash_k`` wraps negative and Java ``%``
+    (sign-of-dividend) diverges from numpy ``%`` (non-negative), so the two
+    sides of the filter would disagree — breaking the no-false-negative
+    contract. Every in-repo producer (shingle/minhash hashes) is already
+    mod-P31 by construction; the build enforces the domain distributed via
+    ``assert_true`` (fails the job loudly on the first bad value instead of
+    writing a corrupt filter), and the probe re-checks on the numpy side.
     """
     if n_bits % 64 != 0 or n_bits <= 0:
         raise ValueError("n_bits must be a positive multiple of 64")
-    pos = values.select(F.explode(F.array(*_bloom_pos_exprs(F.col(col), n_bits, n_hashes))).alias("p"))
+    c = F.col(col)
+    guard = F.assert_true(
+        (c >= 0) & (c < P31),
+        F.concat(F.lit(f"bloom input out of domain [0,{P31}): "), c.cast("string")),
+    )
+    # assert_true is NULL on success, raises on the first violation; routing
+    # the value through it pins the check into the same projection as the
+    # bit-position computation (no extra pass over the data)
+    checked = values.select(F.when(guard.isNull(), c).alias("__v"))
+    pos = checked.select(
+        F.explode(F.array(*_bloom_pos_exprs(F.col("__v"), n_bits, n_hashes))).alias("p")
+    )
     rows = (
         pos.groupBy(F.floor(F.col("p") / F.lit(64)).cast("long").alias("w"))
         .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")).alias("bits"))
@@ -340,13 +360,19 @@ def bloom_might_contain(spark, words, n_bits: int, n_hashes: int = 3):
     per-row Python) testing all ``n_hashes`` bits per value against the
     broadcast word table. False positives possible (by design), false
     negatives impossible — so it is always safe as a PRE-filter in front of
-    an exact join."""
+    an exact join.
+
+    Supported input DOMAIN: [0, P31), same as ``build_bloom_words`` (see its
+    docstring for why); out-of-domain values raise instead of silently
+    producing a false negative."""
     bc = spark.sparkContext.broadcast(words)
     mults = [((2 * j + 1) * MULT) % P31 for j in range(n_hashes)]
 
     @F.pandas_udf("boolean")
     def might_contain(s: pd.Series) -> pd.Series:
         x = s.to_numpy(dtype="int64")
+        if len(x) and (x.min() < 0 or x.max() >= P31):
+            raise ValueError(f"bloom probe input out of domain [0,{P31})")
         w = bc.value
         out = np.ones(len(x), dtype=bool)
         for j, m in enumerate(mults):

@@ -87,10 +87,13 @@ def read_conll_tagged(spark: SparkSession, path: str, id_prefix: str = "s") -> D
     blank lines -> (doc_id, tokens, pos_tags, labels, n_tok).
 
     Sentence recovery is a running count of blank separators: sentence id =
-    number of blank lines at-or-before the row (window ordered by the file's
-    line id, partitioned by a constant — CoNLL files are single-file
-    artifacts read whole; shard multi-gigabyte corpora into per-file reads
-    upstream, like the other single-file adapters here).
+    number of blank lines at-or-before the row, via an UNPARTITIONED window
+    over the file's line ids. That window plans an Exchange SinglePartition —
+    DELIBERATE here and exempt from the plan-wide ban (which covers the query
+    registry): sentence boundaries are a strictly sequential property of one
+    file's line order, and CoNLL files are bounded single-file artifacts read
+    whole. Shard multi-gigabyte corpora into per-file reads upstream, like
+    the other single-file adapters here.
     """
     from pyspark.sql import Window
 

@@ -206,6 +206,28 @@ def test_bloom_filter_no_false_negatives(spark):
     assert fp < 100  # ~1.7% expected at 16.4 bits/element; 10% is a red flag
 
 
+def test_bloom_rejects_out_of_domain_values(spark):
+    """Values outside [0, P31) break the Spark/numpy hash mirror (JVM int64
+    wrap + Java-vs-numpy %), so both the build and the probe must raise
+    instead of silently risking a false negative."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from marmot_spark.operators.dedup import P31, bloom_might_contain, build_bloom_words
+
+    for bad in (-1, P31):
+        vals = spark.createDataFrame([(7,), (bad,)], "v long")
+        with _pytest.raises(Exception, match="domain"):
+            build_bloom_words(vals, "v", n_bits=256, n_hashes=3)
+    ok = spark.createDataFrame([(7,), (P31 - 1,), (0,)], "v long")
+    words = build_bloom_words(ok, "v", n_bits=256, n_hashes=3)
+    mc = bloom_might_contain(spark, words, 256, 3)
+    assert ok.filter(~mc(F.col("v"))).count() == 0
+    bad_probe = spark.createDataFrame([(-5,)], "v long")
+    with _pytest.raises(Exception, match="domain"):
+        bad_probe.filter(mc(F.col("v"))).count()
+
+
 def test_connected_components(spark):
     """Chain (diameter > 1), clique, isolated pair, self-loop: every node
     labeled with its component's min id; non-convergence raises."""
