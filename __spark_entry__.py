@@ -2402,27 +2402,552 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# COMPOSED driver queries (round 5): the driver's CORRECTNESS file caps at 50
+# entries, so the registry is consolidated to <= 50 by composing same-family
+# variants into one oracle-paired query each. Every composite calls the SAME
+# verified building-block functions as before (the per-variant _q_ functions
+# stay as the construction sites) and its oracle embeds the per-variant SQL
+# blocks verbatim as CTEs — one green row now certifies the whole family.
+# ---------------------------------------------------------------------------
+
+
+def _q_j2_asof_suite(spark, sf):
+    """J2 — all five as-of variants in one verified result: backward (window
+    strategy), backward (explicit Arrow merge kernel), 10-min tolerance,
+    forward, and nearest, each as its own (ts, value) column pair joined on
+    event_id. One green row = the full as-of API surface."""
+    variants = {
+        "back": _q_j2_asof_backfill, "merge": _q_j2_asof_merge,
+        "tol": _q_j2_asof_tolerance, "fwd": _q_j2_asof_forward,
+        "near": _q_j2_asof_nearest,
+    }
+    out = None
+    for tag, fn in variants.items():
+        v = fn(spark, sf).select(
+            "event_id",
+            *(["user_id", "ts_us"] if out is None else []),
+            F.col("err_ts_us").alias(f"{tag}_ts_us"),
+            F.col("err_value_c").alias(f"{tag}_value_c"),
+        )
+        out = v if out is None else out.join(v, "event_id")
+    return out
+
+
+_SQL_J2_SUITE = f"""
+WITH b AS ({_SQL_J2}), t AS ({_SQL_J2_TOL}), f AS ({_SQL_J2_FWD}), n AS ({_SQL_J2_NEAREST})
+SELECT b.event_id, b.user_id, b.ts_us,
+  b.err_ts_us AS back_ts_us, b.err_value_c AS back_value_c,
+  b.err_ts_us AS merge_ts_us, b.err_value_c AS merge_value_c,
+  t.err_ts_us AS tol_ts_us, t.err_value_c AS tol_value_c,
+  f.err_ts_us AS fwd_ts_us, f.err_value_c AS fwd_value_c,
+  n.err_ts_us AS near_ts_us, n.err_value_c AS near_value_c
+FROM b
+JOIN t ON t.event_id = b.event_id
+JOIN f ON f.event_id = b.event_id
+JOIN n ON n.event_id = b.event_id
+"""
+
+
+def _q_a4_rolling_suite(spark, sf):
+    """A4 — serial path (per-user 1h frames) AND the chunked scale path
+    (n_chunks=4 on the low-cardinality event_type) joined on event_id."""
+    s = _q_a4_rolling_count(spark, sf)
+    c = _q_a4_rolling_chunked(spark, sf).select(
+        "event_id", "event_type",
+        F.col("rolling_n").alias("chk_rolling_n"),
+        F.col("rolling_value_c").alias("chk_rolling_value_c"),
+    )
+    return s.join(c, "event_id")
+
+
+_SQL_A4_SUITE = f"""
+WITH s AS ({_SQL_A4}), c AS ({_SQL_A4_CHUNKED})
+SELECT s.event_id, s.user_id, c.event_type, s.ts_us, s.rolling_n, s.rolling_value_c,
+  c.rolling_n AS chk_rolling_n, c.rolling_value_c AS chk_rolling_value_c
+FROM s JOIN c ON c.event_id = s.event_id
+"""
+
+
+def _q_w6_sessionize_suite(spark, sf):
+    """W6 — serial sessionize (per-user) AND the chunked boundary-merge path
+    (n_chunks=4 on event_type) joined on event_id."""
+    s = _q_w6_sessionize(spark, sf)
+    c = _q_w6_sessionize_chunked(spark, sf).select(
+        "event_id", "event_type", F.col("session_id").alias("chk_session_id")
+    )
+    return s.join(c, "event_id")
+
+
+_SQL_W6_SUITE = f"""
+WITH s AS ({_SQL_W6}), c AS ({_SQL_W6_CHUNKED})
+SELECT s.event_id, s.user_id, c.event_type, s.ts_us, s.session_id,
+  c.session_id AS chk_session_id
+FROM s JOIN c ON c.event_id = s.event_id
+"""
+
+
+def _q_s5_external(spark, sf):
+    """S5 — both external-tool modes in one result: spawn-per-batch `tr`
+    (upper_text) and long-lived per-partition worker `sed -u` (snake_text)."""
+    p = _q_s5_external_pipe(spark, sf)
+    w = _q_s5_external_worker(spark, sf)
+    return p.join(w, "doc_id")
+
+
+_SQL_S5_SUITE = f"""
+WITH p AS ({_SQL_S5}), w AS ({_SQL_S5_WORKER})
+SELECT p.doc_id, p.upper_text, w.snake_text FROM p JOIN w ON w.doc_id = p.doc_id
+"""
+
+
+def _q_j3_ngram_suite(spark, sf):
+    """J3 + W3 — n-gram dictionary membership through BOTH construction
+    paths: the 2-gram-only dict (max_n=2 kernel; in_lm2_d2) and the unioned
+    1/2/3-gram dict with longest-match order, joined per (doc, pos)."""
+    a = _q_j3_ngram_membership(spark, sf).select(
+        "doc_id", "pos", F.col("in_lm_2").alias("in_lm2_d2")
+    )
+    b = _q_w3_longest_ngram(spark, sf)
+    return b.join(a, ["doc_id", "pos"])
+
+
+_SQL_J3_SUITE = f"""
+WITH a AS ({_SQL_J3}), b AS ({_SQL_W3})
+SELECT b.doc_id, b.pos, b.tok, b.in_lm_1, b.in_lm_2, b.in_lm_3, b.longest_ngram,
+  a.in_lm_2 AS in_lm2_d2
+FROM b JOIN a ON a.doc_id = b.doc_id AND a.pos = b.pos
+"""
+
+
+def _q_text_metrics(spark, sf):
+    """All per-document text-analysis signals as ONE narrow codegen
+    projection (the plan a 100 TB curation pass wants — no joins, no
+    shuffle, one scan): quality ratios, language-ID, token counts,
+    repetition fractions, rolling-hash fingerprint, and the composite
+    C4/Gopher keep/drop flags."""
+    from marmot_spark.functions.text import (
+        doc_fingerprint_col, lang_id_col, quality_cols, repetition_cols,
+        token_count_cols,
+    )
+
+    d = _docs(spark, sf)
+    q = quality_cols("text")
+    tc = token_count_cols("text")
+    r = repetition_cols("text")
+    n_tok = F.size(F.split("text", " "))
+    too_short = (n_tok < 5).cast("int")
+    high_punct = (q["punct_ratio_ppm"] > 100_000).cast("int")
+    low_stop = (q["stop_ratio_ppm"] < 10_000).cast("int")
+    high_rep = (r["dup_3gram_ppm"] > 100_000).cast("int")
+    keep = (
+        (too_short == 0) & (high_punct == 0) & (low_stop == 0) & (high_rep == 0)
+    ).cast("int")
+    return d.select(
+        "doc_id", "lang",
+        *[c.alias(k) for k, c in q.items()],
+        lang_id_col("text").alias("pred_lang"),
+        *[c.alias(k) for k, c in tc.items()],
+        *[c.alias(k) for k, c in r.items()],
+        doc_fingerprint_col("tokens").alias("fingerprint"),
+        too_short.alias("f_too_short"),
+        high_punct.alias("f_high_punct"),
+        low_stop.alias("f_low_stopword"),
+        high_rep.alias("f_high_repetition"),
+        keep.alias("keep"),
+    )
+
+
+def _sql_text_metrics() -> str:
+    return f"""
+WITH q AS ({_SQL_QUALITY}), l AS ({_sql_lang_id()}), tc AS ({_SQL_TOKEN_COUNTS}),
+r AS ({_sql_text_repetition()}), fp AS ({_SQL_FINGERPRINT}), qf AS ({_sql_quality_filter()})
+SELECT q.doc_id, l.lang, q.n_chars_obs, q.n_punct, q.n_stop, q.stop_ratio_ppm,
+  q.punct_ratio_ppm, l.pred_lang, tc.n_tok_ws, tc.n_alpha_runs, tc.n_num_runs,
+  r.dup_2gram_ppm, r.dup_3gram_ppm, fp.fingerprint,
+  qf.f_too_short, qf.f_high_punct, qf.f_low_stopword, qf.f_high_repetition, qf.keep
+FROM q
+JOIN l ON l.doc_id = q.doc_id
+JOIN tc ON tc.doc_id = q.doc_id
+JOIN r ON r.doc_id = q.doc_id
+JOIN fp ON fp.doc_id = q.doc_id
+JOIN qf ON qf.doc_id = q.doc_id
+"""
+
+
+def _q_text_curation(spark, sf):
+    """The round-4 scoring suite as one per-document curation table:
+    tf-idf (aggregated per doc: term count / sum / max of the quantized
+    scores), held-out bigram-LM fluency (docs with doc_id%5==0), and DSIR
+    importance weights toward lang='en' — all left-joined onto the full
+    doc-id spine (docs outside a scorer's domain carry NULLs)."""
+    from marmot_spark.operators.scoring import (
+        bigram_lm_loglik, importance_weights, tf_idf,
+    )
+
+    docs = _docs(spark, sf)
+    base = docs.select("doc_id")
+    ta = (
+        tf_idf(docs, "doc_id", "tokens", quant=1000)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tfidf_q").alias("tfidf_sum_q"),
+            F.max("tfidf_q").alias("tfidf_max_q"),
+        )
+    )
+    lm = bigram_lm_loglik(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id", "tokens",
+    )
+    iw = importance_weights(
+        docs, F.col("lang") == "en", "doc_id", "tokens", k=2, n_buckets=1024
+    )
+    return (
+        base.join(ta, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(iw, "doc_id", "left")
+    )
+
+
+def _sql_text_curation() -> str:
+    return f"""
+WITH t AS ({_SQL_TFIDF}), lm AS ({_SQL_LM_SCORE}), iw AS ({_sql_importance_weights()}),
+ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(tfidf_q) AS BIGINT) AS tfidf_sum_q,
+         CAST(max(tfidf_q) AS BIGINT) AS tfidf_max_q
+       FROM t GROUP BY doc_id)
+SELECT d.doc_id, ta.n_terms, ta.tfidf_sum_q, ta.tfidf_max_q,
+  lm.n_bigrams, lm.ll_q, iw.n_feats, iw.w_q
+FROM documents d
+LEFT JOIN ta ON ta.doc_id = d.doc_id
+LEFT JOIN lm ON lm.doc_id = d.doc_id
+LEFT JOIN iw ON iw.doc_id = d.doc_id
+"""
+
+
+def _q_dedup_pairs_suite(spark, sf):
+    """All four near-duplicate PAIR finders in one verified result, tagged by
+    method: MinHash-LSH (score = jaccard_ppm), 16-bit SimHash Hamming
+    (score = hamming distance), blocked n-gram Jaccard (score = jaccard_ppm)
+    and LSH-bucketed embedding cosine (score = cos_ppm). Every path is
+    bucket-bounded — no all-pairs join anywhere."""
+    mh = _q_dedup_minhash_lsh(spark, sf).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("jaccard_ppm").cast("long").alias("score"),
+    )
+    sh = _q_dedup_simhash_hamming(spark, sf).select(
+        F.lit("simhash").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("score"),
+    )
+    ng = _q_dedup_ngram_jaccard(spark, sf).select(
+        F.lit("jaccard").alias("method"), "id_a", "id_b",
+        F.col("jaccard_ppm").cast("long").alias("score"),
+    )
+    ec = _q_dedup_embedding_cosine(spark, sf).select(
+        F.lit("cosine").alias("method"), "id_a", "id_b",
+        F.col("cos_ppm").cast("long").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(ng).unionByName(ec)
+
+
+def _sql_dedup_pairs_suite() -> str:
+    return f"""
+SELECT 'minhash' AS method, id_a, id_b, jaccard_ppm AS score FROM ({_sql_minhash()})
+UNION ALL
+SELECT 'simhash', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT), hamming FROM ({_sql_simhash_hamming()})
+UNION ALL
+SELECT 'jaccard', id_a, id_b, jaccard_ppm FROM ({_SQL_JACCARD})
+UNION ALL
+SELECT 'cosine', id_a, id_b, cos_ppm FROM ({_sql_dedup_embedding_cosine()})
+"""
+
+
+def _q_ann_suite(spark, sf):
+    """All three ANN strategies in one verified result, tagged by method:
+    exact brute-force top-k, hyperplane-LSH bucketed, and IVF with the
+    deterministic first-8 codebook."""
+    bf = _q_ann_brute_force(spark, sf).select(F.lit("bf").alias("method"), "*")
+    lsh = _q_ann_lsh(spark, sf).select(F.lit("lsh").alias("method"), "*")
+    ivf = _q_ann_ivf(spark, sf).select(F.lit("ivf").alias("method"), "*")
+    return bf.unionByName(lsh).unionByName(ivf)
+
+
+def _sql_ann_suite() -> str:
+    return f"""
+SELECT 'bf' AS method, query_id, neighbor_id, score, rank FROM ({_SQL_ANN_BF})
+UNION ALL
+SELECT 'lsh', query_id, neighbor_id, score, rank FROM ({_sql_ann_lsh()})
+UNION ALL
+SELECT 'ivf', query_id, neighbor_id, score, rank FROM ({_sql_ann_ivf()})
+"""
+
+
+def _q_multimodal_suite(spark, sf):
+    """Multimodal plumbing end to end: typed byte/codepoint metadata joined
+    with the mapInPandas feature-extractor output (deterministic fake
+    decoder — real codecs stubbed per SURVEY) per document."""
+    m = _q_multimodal_meta(spark, sf)
+    f = _q_multimodal_features(spark, sf).select(
+        F.col("id").alias("doc_id"), "media_type",
+        F.col("n_bytes").alias("n_bytes_decoded"), "feat_mean", "feat_dim",
+    )
+    return m.join(f, "doc_id")
+
+
+_SQL_MULTIMODAL_SUITE = f"""
+WITH m AS ({_SQL_MULTIMODAL}), f AS ({_SQL_MULTIMODAL_FEATS})
+SELECT m.doc_id, m.n_bytes, m.first_cp, f.media_type,
+  f.n_bytes AS n_bytes_decoded, f.feat_mean, f.feat_dim
+FROM m JOIN f ON f.id = m.doc_id
+"""
+
+
+def _q_streaming_suite(spark, sf):
+    """All four Structured Streaming behaviors in one verified result,
+    normalized to (part, user_id, k1, k2, v1, v2) rows: session_window
+    aggregation ('sess': k=start/end us, v=n/sum), watermark late-data drop
+    ('late': same shape over the 3-batch replay), applyInPandasWithState
+    running totals ('totals': v=n/sum) and dropDuplicatesWithinWatermark
+    exact dedup ('dedup': k=event_id/ts_us, v=1/value_c). Each part drains
+    its own real streaming query; one green row certifies all four."""
+    sess = _q_streaming_sessionize(spark, sf).select(
+        F.lit("sess").alias("part"), "user_id",
+        F.col("start_us").alias("k1"), F.col("end_us").alias("k2"),
+        F.col("n_events").cast("long").alias("v1"),
+        F.col("sum_value_c").cast("long").alias("v2"),
+    )
+    late = _q_streaming_late_data(spark, sf).select(
+        F.lit("late").alias("part"), "user_id",
+        F.col("start_us").alias("k1"), F.col("end_us").alias("k2"),
+        F.col("n_events").cast("long").alias("v1"),
+        F.col("sum_value_c").cast("long").alias("v2"),
+    )
+    tot = _q_streaming_stateful_totals(spark, sf).select(
+        F.lit("totals").alias("part"), "user_id",
+        F.lit(None).cast("long").alias("k1"), F.lit(None).cast("long").alias("k2"),
+        F.col("n_events").cast("long").alias("v1"),
+        F.col("sum_value_c").cast("long").alias("v2"),
+    )
+    ded = _q_streaming_dedup(spark, sf).select(
+        F.lit("dedup").alias("part"), "user_id",
+        F.col("event_id").cast("long").alias("k1"), F.col("ts_us").alias("k2"),
+        F.lit(1).cast("long").alias("v1"), F.col("value_c").cast("long").alias("v2"),
+    )
+    return sess.unionByName(late).unionByName(tot).unionByName(ded)
+
+
+def _sql_streaming_suite() -> str:
+    return f"""
+SELECT 'sess' AS part, user_id, start_us AS k1, end_us AS k2,
+  n_events AS v1, sum_value_c AS v2 FROM ({_SQL_STREAM_SESS})
+UNION ALL
+SELECT 'late', user_id, start_us, end_us, n_events, sum_value_c FROM ({_SQL_STREAM_LATE})
+UNION ALL
+SELECT 'totals', user_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  n_events, sum_value_c
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum({_CENTS_SQL.format(c='value')}) AS BIGINT) AS sum_value_c
+      FROM events GROUP BY user_id)
+UNION ALL
+SELECT 'dedup', user_id, CAST(event_id AS BIGINT), ts_us, CAST(1 AS BIGINT), value_c
+FROM ({_SQL_STREAM_DEDUP})
+"""
+
+
+def _q_splits_suite(spark, sf):
+    """Split assignment + mixture sampling in one per-doc result: the
+    deterministic content-hash train/val/test split and a kept flag for the
+    per-source mixture rates (both pure narrow projections)."""
+    s = _q_split_assign(spark, sf)
+    m = _q_mixture_sample(spark, sf).select("doc_id", F.lit(1).alias("kept"))
+    return s.join(m, "doc_id", "left").select(
+        "doc_id", "source", "split", F.coalesce("kept", F.lit(0)).cast("int").alias("kept")
+    )
+
+
+def _sql_splits_suite() -> str:
+    return f"""
+WITH s AS ({_sql_split_assign()}), m AS ({_sql_mixture_sample()})
+SELECT s.doc_id, s.source, s.split,
+  CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM s LEFT JOIN m ON m.doc_id = s.doc_id
+"""
+
+
+def _q_j8_viterbi_links(spark, sf):
+    """J8 — IBM-1 Viterbi word alignment (operators/ibm1.py::viterbi_align)
+    over a deterministic synthetic parallel corpus (src = the doc's token
+    ids; tgt = the reversed sequence re-encoded (t*7+13)%1000). The lexical
+    table here is the count model t(f|e) = cooc(e,f)/occ(e) — exact integer
+    ratios, so Spark and DuckDB compute bit-identical doubles and the argmax
+    (max_by over (t, -s_idx), ties to the smallest source index) is
+    engine-independent. EM-trained tables are float-sum order-dependent and
+    stay third-oracle-verified in tests/test_ibm1.py; this row certifies the
+    Viterbi kernel itself: the NULL-word prepend, the pair-stream join, the
+    per-(sent, t_pos) argmax and the link re-assembly."""
+    from marmot_spark.operators.ibm1 import NULL_ID, viterbi_align
+
+    docs = _docs(spark, sf)
+    par = docs.select(
+        "doc_id",
+        F.col("tokens").alias("src_tokens"),
+        F.transform(
+            F.reverse("tokens"), lambda t: ((t * 7 + 13) % 1000).cast("int")
+        ).alias("tgt_tokens"),
+    ).filter(F.size("src_tokens") > 0)
+    pairs = (
+        par.select(
+            "doc_id",
+            F.concat(F.array(F.lit(NULL_ID).cast("int")), F.col("src_tokens")).alias("__src"),
+            F.explode("tgt_tokens").alias("f"),
+        )
+        .select("doc_id", "f", F.explode("__src").alias("e"))
+    )
+    occ = pairs.groupBy("e").agg(F.count(F.lit(1)).alias("__occ"))
+    tt = (
+        pairs.groupBy("e", "f").agg(F.count(F.lit(1)).alias("__cooc"))
+        .join(occ, "e")
+        .select("e", "f", (F.col("__cooc").cast("double") / F.col("__occ").cast("double")).alias("t"))
+    )
+    out = viterbi_align(par, tt, "src_tokens", "tgt_tokens", id_col="doc_id")
+    return out.select("doc_id", "src_tokens", "tgt_tokens", F.explode("links").alias("l")).select(
+        "doc_id",
+        F.col("l.t").alias("t_pos"),
+        F.col("l.s").alias("s_pos"),
+        F.get("tgt_tokens", F.col("l.t")).alias("f_tok"),
+        F.get("src_tokens", F.col("l.s")).alias("e_tok"),
+    )
+
+
+_SQL_J8 = f"""
+WITH {DOCS_T},
+par AS (
+  SELECT doc_id, tokens AS src,
+    list_transform(list_reverse(tokens), t -> CAST((t*7+13)%1000 AS INT)) AS tgt
+  FROM docs_t WHERE length(tokens) > 0
+),
+pairs AS (
+  SELECT doc_id, CAST(u.j AS INT) AS f_pos, tgt[CAST(u.j AS INT)+1] AS f,
+    CAST(v.i AS INT) - 1 AS s_idx, list_concat([-1], src)[CAST(v.i AS INT)+1] AS e
+  FROM par, UNNEST(range(length(tgt))) AS u(j),
+       UNNEST(range(length(src)+1)) AS v(i)
+),
+occ AS (SELECT e, count(*) AS o FROM pairs GROUP BY e),
+tt AS (SELECT e, f, CAST(count(*) AS DOUBLE) / CAST(any_value(o) AS DOUBLE) AS t
+       FROM pairs JOIN occ USING (e) GROUP BY e, f),
+scored AS (
+  SELECT p.doc_id, p.f_pos, p.f, p.s_idx, p.e, tt.t,
+    row_number() OVER (PARTITION BY p.doc_id, p.f_pos ORDER BY tt.t DESC, p.s_idx ASC) AS rn
+  FROM pairs p JOIN tt ON tt.e = p.e AND tt.f = p.f
+)
+SELECT doc_id, f_pos AS t_pos, s_idx AS s_pos, f AS f_tok, e AS e_tok
+FROM scored WHERE rn = 1 AND e <> -1
+"""
+
+
+def _q_pos_context_features(spark, sf):
+    """POS-tag context features through the REAL CoNLL reader: documents are
+    materialized as a token<TAB>pos<TAB>label CoNLL file (tag = 'T' + tok%5,
+    label = lang; one sentence per doc in doc_id order), read back via
+    sources/corpus.py::read_conll_tagged, then the marmot word-QE tag
+    features are computed per target position: its own tag, the lag-1 tag
+    ('<S>' at the sentence start) and the tag of the ALIGNED source token
+    under an identity alignment to the NEXT sentence (the J1 + W4
+    composition; '<UNALIGNED>' where no source exists). The oracle rebuilds
+    every feature from the documents table directly."""
+    import os
+
+    import pandas as pd
+
+    from marmot_spark.operators.alignment import first_aligned_idx, join_alignments
+    from marmot_spark.sources.corpus import read_conll_tagged
+
+    pdf = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+
+    def tok_id(w: str) -> int:
+        return (ord(w[0]) * 131 + ord(w[-1]) + 7 * len(w)) % 1000 if w else 0
+
+    d = _fresh_tmpdir("conll_pos", sf)
+    path = os.path.join(d, "docs.conll")
+    with open(path, "w") as fh:
+        for i, row in pdf.iterrows():
+            if i:
+                fh.write("\n")
+            for w in str(row["text"]).split(" "):
+                fh.write(f"{w}\tT{tok_id(w) % 5}\t{row['lang']}\n")
+
+    conll = read_conll_tagged(spark, path).withColumn(
+        "sent", F.substring("doc_id", 2, 8).cast("long")
+    )
+    ex = conll.select(
+        "sent",
+        F.get("labels", 0).alias("label"),
+        "pos_tags",
+        F.posexplode(F.arrays_zip("tokens", "pos_tags")).alias("pos", "z"),
+    ).select(
+        "sent", "label", "pos",
+        F.col("z.tokens").alias("token"),
+        F.col("z.pos_tags").alias("tag"),
+        F.coalesce(F.get("pos_tags", F.col("pos") - 1), F.lit("<S>")).alias("prev_tag"),
+    )
+    src = conll.select(
+        (F.col("sent") - 1).alias("sent"), F.col("pos_tags").alias("src_tags")
+    )
+    ex = ex.withColumn(
+        "align", F.transform(F.sequence(F.lit(0), F.col("pos")), lambda i: F.array(i))
+    )
+    ex = join_alignments(ex, src, on="sent")
+    idx = F.when(F.col("src_tags").isNotNull(), first_aligned_idx("align", "pos"))
+    return ex.select(
+        "sent", F.col("pos").cast("int").alias("pos"), "token", "tag", "prev_tag",
+        F.when(idx.isNull(), F.lit("<UNALIGNED>"))
+        .otherwise(F.coalesce(F.get("src_tags", idx), F.lit("<UNALIGNED>")))
+        .alias("aligned_src_tag"),
+        "label",
+    )
+
+
+_SQL_POS_CTX = f"""
+WITH {DOCS_T},
+d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words, {TOK_SQL} AS toks,
+    row_number() OVER (ORDER BY doc_id) - 1 AS sent
+  FROM documents
+),
+e AS (
+  SELECT sent, lang, words, toks, CAST(u.p AS INT) AS pos
+  FROM d, UNNEST(range(length(words))) AS u(p)
+)
+SELECT e.sent, e.pos, e.words[e.pos+1] AS token,
+  'T' || CAST(e.toks[e.pos+1] % 5 AS VARCHAR) AS tag,
+  CASE WHEN e.pos >= 1 THEN 'T' || CAST(e.toks[e.pos] % 5 AS VARCHAR)
+       ELSE '<S>' END AS prev_tag,
+  CASE WHEN n.sent IS NULL THEN '<UNALIGNED>'
+       WHEN e.pos+1 <= length(n.toks) THEN 'T' || CAST(n.toks[e.pos+1] % 5 AS VARCHAR)
+       ELSE '<UNALIGNED>' END AS aligned_src_tag,
+  e.lang AS label
+FROM e LEFT JOIN d n ON n.sent = e.sent + 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_context_window": _q_w1_context_window,
         "w4_lag_lead": _q_w4_lag_lead,
-        "w6_sessionize": _q_w6_sessionize,
-        "a4_rolling_count": _q_a4_rolling_count,
-        "j2_asof_backfill": _q_j2_asof_backfill,
-        "j2_asof_tolerance": _q_j2_asof_tolerance,
-        "j2_asof_merge": _q_j2_asof_merge,
-        "j2_asof_forward": _q_j2_asof_forward,
-        "j2_asof_nearest": _q_j2_asof_nearest,
-        "a4_rolling_chunked": _q_a4_rolling_chunked,
-        "w6_sessionize_chunked": _q_w6_sessionize_chunked,
+        "w6_sessionize": _q_w6_sessionize_suite,
+        "a4_rolling_count": _q_a4_rolling_suite,
+        "j2_asof_suite": _q_j2_asof_suite,
         "text_rarity_score": _q_text_rarity_score,
         "pivot_counts": _q_pivot_counts,
         "j1_alignment_join": _q_j1_alignment_join,
         "j4_pseudo_ref": _q_j4_pseudo_ref,
-        "s5_external_pipe": _q_s5_external_pipe,
-        "s5_external_worker": _q_s5_external_worker,
-        "j3_ngram_membership": _q_j3_ngram_membership,
-        "w3_longest_ngram": _q_w3_longest_ngram,
+        "s5_external": _q_s5_external,
+        "j3_ngram_suite": _q_j3_ngram_suite,
         "a1_length_stats": _q_a1_length_stats,
         "a2_vocab_counts": _q_a2_vocab_counts,
         "a3_label_distribution": _q_a3_label_distribution,
@@ -2440,43 +2965,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": _q_tpch_q18_large_orders,
         "w5_window_rank": _q_w5_window_rank,
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_pairs_suite": _q_dedup_pairs_suite,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_hamming": _q_dedup_simhash_hamming,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "text_quality": _q_text_quality,
-        "text_lang_id": _q_text_lang_id,
-        "text_token_counts": _q_text_token_counts,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "ann_brute_force": _q_ann_brute_force,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-        "multimodal_meta": _q_multimodal_meta,
+        "text_metrics": _q_text_metrics,
+        "ann_suite": _q_ann_suite,
+        "multimodal_suite": _q_multimodal_suite,
         "flagship_composed": _q_flagship_composed,
-        "multimodal_features": _q_multimodal_features,
-        "streaming_sessionize": _q_streaming_sessionize,
-        "streaming_late_data": _q_streaming_late_data,
-        "streaming_stateful_totals": _q_streaming_stateful_totals,
-        "streaming_dedup": _q_streaming_dedup,
+        "streaming_suite": _q_streaming_suite,
         "j6_lookup_polysemy": _q_j6_lookup_polysemy,
         "checkpoint_lineage": _q_checkpoint_lineage,
-        "split_assign": _q_split_assign,
-        "mixture_sample": _q_mixture_sample,
+        "splits_suite": _q_splits_suite,
         "pack_sequences": _q_pack_sequences,
-        "text_repetition": _q_text_repetition,
         "contamination_check": _q_contamination_check,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
-        "quality_filter": _q_quality_filter,
-        "text_tfidf": _q_text_tfidf,
-        "lm_score_bigram": _q_lm_score_bigram,
-        "importance_weights": _q_importance_weights,
+        "text_curation": _q_text_curation,
         "f9_discretize": _q_f9_discretize,
         "a8_corr_stats": _q_a8_corr_stats,
         "a9_pmi_collocations": _q_a9_pmi_collocations,
+        "j8_viterbi_links": _q_j8_viterbi_links,
+        "pos_context_features": _q_pos_context_features,
     }
 
 
@@ -2484,23 +2994,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "w1_context_window": _SQL_W1,
         "w4_lag_lead": _SQL_W4,
-        "w6_sessionize": _SQL_W6,
-        "a4_rolling_count": _SQL_A4,
-        "j2_asof_backfill": _SQL_J2,
-        "j2_asof_tolerance": _SQL_J2_TOL,
-        "j2_asof_merge": _SQL_J2,
-        "j2_asof_forward": _SQL_J2_FWD,
-        "j2_asof_nearest": _SQL_J2_NEAREST,
-        "a4_rolling_chunked": _SQL_A4_CHUNKED,
-        "w6_sessionize_chunked": _SQL_W6_CHUNKED,
+        "w6_sessionize": _SQL_W6_SUITE,
+        "a4_rolling_count": _SQL_A4_SUITE,
+        "j2_asof_suite": _SQL_J2_SUITE,
         "text_rarity_score": _SQL_RARITY,
         "pivot_counts": _SQL_PIVOT,
         "j1_alignment_join": _SQL_J1,
         "j4_pseudo_ref": _SQL_J4,
-        "s5_external_pipe": _SQL_S5,
-        "s5_external_worker": _SQL_S5_WORKER,
-        "j3_ngram_membership": _SQL_J3,
-        "w3_longest_ngram": _SQL_W3,
+        "s5_external": _SQL_S5_SUITE,
+        "j3_ngram_suite": _SQL_J3_SUITE,
         "a1_length_stats": _SQL_A1,
         "a2_vocab_counts": _SQL_A2,
         "a3_label_distribution": _SQL_A3,
@@ -2518,45 +3020,26 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_large_orders": _SQL_TPCH_Q18,
         "w5_window_rank": _SQL_W5,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "dedup_minhash_lsh": _sql_minhash(),
+        "dedup_pairs_suite": _sql_dedup_pairs_suite(),
         "dedup_clusters": _sql_dedup_clusters(),
         "dedup_spans": _sql_dedup_spans(),
         "dedup_simhash": _sql_simhash(),
-        "dedup_simhash_hamming": _sql_simhash_hamming(),
-        "dedup_ngram_jaccard": _SQL_JACCARD,
-        "text_quality": _SQL_QUALITY,
-        "text_lang_id": _sql_lang_id(),
-        "text_token_counts": _SQL_TOKEN_COUNTS,
-        "doc_fingerprint": _SQL_FINGERPRINT,
-        "ann_brute_force": _SQL_ANN_BF,
-        "ann_lsh": _sql_ann_lsh(),
-        "ann_ivf": _sql_ann_ivf(),
-        "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
-        "multimodal_meta": _SQL_MULTIMODAL,
+        "text_metrics": _sql_text_metrics(),
+        "ann_suite": _sql_ann_suite(),
+        "multimodal_suite": _SQL_MULTIMODAL_SUITE,
         "flagship_composed": _SQL_FLAGSHIP,
-        "multimodal_features": _SQL_MULTIMODAL_FEATS,
-        "streaming_sessionize": _SQL_STREAM_SESS,
-        "streaming_late_data": _SQL_STREAM_LATE,
-        "streaming_stateful_totals": f"""
-SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-  CAST(sum({_CENTS_SQL.format(c='value')}) AS BIGINT) AS sum_value_c
-FROM events GROUP BY user_id
-""",
-        "streaming_dedup": _SQL_STREAM_DEDUP,
+        "streaming_suite": _sql_streaming_suite(),
         "j6_lookup_polysemy": _SQL_J6,
         "checkpoint_lineage": _SQL_CKPT_LINEAGE,
-        "split_assign": _sql_split_assign(),
-        "mixture_sample": _sql_mixture_sample(),
+        "splits_suite": _sql_splits_suite(),
         "pack_sequences": _SQL_PACK,
-        "text_repetition": _sql_text_repetition(),
         "contamination_check": _sql_contamination_check(),
-        "quality_filter": _sql_quality_filter(),
         "bpe_train": _sql_bpe_train(),
         "bpe_encode": _sql_bpe_encode(),
-        "text_tfidf": _SQL_TFIDF,
-        "lm_score_bigram": _SQL_LM_SCORE,
-        "importance_weights": _sql_importance_weights(),
+        "text_curation": _sql_text_curation(),
         "f9_discretize": _SQL_F9,
         "a8_corr_stats": _SQL_A8,
         "a9_pmi_collocations": _SQL_A9,
+        "j8_viterbi_links": _SQL_J8,
+        "pos_context_features": _SQL_POS_CTX,
     }

@@ -16,14 +16,15 @@ except the 1-row convergence probe.
 
 Scale posture (100 TB): rounds = graph DIAMETER. Near-duplicate clusters are
 dense (a web boilerplate cluster is near-clique), so diameters are small
-single digits and this shape is the practical choice — the same join pattern
-at any corpus size, edge lists shuffle only (a, b, label) triples. The known
-upgrade for adversarial long-chain graphs is alternating large-star/
-small-star (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC 2014) with O(log^2 n) rounds; the loop below is deliberately the simple
-monotone iteration whose per-round plan Catalyst fully owns. Lineage is
-truncated every ``checkpoint_every`` rounds (localCheckpoint) so the plan
-does not deepen with iteration count — same treatment as operators/bpe.py.
+single digits and this shape is the practical default — the same join pattern
+at any corpus size, edge lists shuffle only (a, b, label) triples. For
+adversarial LONG-CHAIN graphs (quote-chains do occur in web dedup) pass
+``mode="star"``: the alternating large-star/small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC 2014),
+O(log^2 n) rounds regardless of diameter, same output contract. Both modes
+truncate lineage every ``checkpoint_every`` rounds (localCheckpoint) so the
+plan does not deepen with iteration count — same treatment as
+operators/bpe.py.
 """
 
 from __future__ import annotations
@@ -40,15 +41,25 @@ def connected_components(
     dst: str,
     max_iter: int = 30,
     checkpoint_every: int = 5,
+    mode: str = "min_label",
 ) -> DataFrame:
     """Label every node of the undirected graph with its component's MIN node
     id. Returns (id, comp). Deterministic for any edge order (min is
     commutative); self-loops are dropped; isolated nodes do not appear in an
     edge list, so callers wanting singleton clusters union them in afterward.
 
+    ``mode``: "min_label" (default — rounds = diameter, the right choice for
+    near-clique dup clusters) or "star" (alternating large-star/small-star,
+    O(log^2 n) rounds — the escape hatch for chain-shaped graphs whose
+    diameter exceeds any sane ``max_iter``).
+
     Raises RuntimeError if ``max_iter`` rounds pass without convergence —
     a silent early stop would mislabel components.
     """
+    if mode == "star":
+        return _connected_components_star(edges, src, dst, max_iter, checkpoint_every)
+    if mode != "min_label":
+        raise ValueError(f"unknown mode {mode!r}: expected 'min_label' or 'star'")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -97,7 +108,106 @@ def connected_components(
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
-            "graph diameter exceeds max_iter (use alternating-star for chain graphs)"
+            "graph diameter exceeds max_iter (use mode='star' for chain graphs)"
         )
     finally:
         und.unpersist()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One LARGE-STAR round (Kiveris et al. SoCC'14): for every node u with
+    m = min(N(u) + {u}), re-point each strictly-LARGER neighbor v > u at m.
+    Strictly-larger is what guarantees monotone progress (edges only ever
+    move toward smaller ids) and keeps the edge count non-increasing."""
+    nbrs = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        nbrs.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One SMALL-STAR round: orient every edge toward its larger endpoint
+    (key u = max, neighbors all <= u), take m = min neighbor, and re-point u
+    AND each of its smaller neighbors at m."""
+    o = (
+        e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = o.groupBy("a").agg(F.min("b").alias("m"))
+    pointed = o.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+    selfed = mins.select("a", F.col("m").alias("b"))
+    return (
+        pointed.unionByName(selfed)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — O(log^2 n)
+    rounds independent of diameter (the chain-graph escape hatch). Same
+    output contract as min-label: (id, comp) with comp = component min id.
+
+    Each round is large-star + small-star (2 groupBy + 2 join exchanges on
+    node ids, all hash-partitioned — no SinglePartition anywhere).
+    Convergence = the small-star output is a fixpoint (set-equal to the
+    previous round's edges): at that point the graph is a disjoint union of
+    stars rooted at each component's minimum. The fixpoint probe costs one
+    extra action per round: set equality = |new| == |cur| (the counts ride
+    the persist materialization) AND new \\ cur empty (one anti-join
+    ``limit(1)`` — equal-size sets with no new element are identical).
+    """
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    # node inventory up front: star rounds contract edges, and a component
+    # reduced to its root alone must still be labeled
+    nodes = (
+        cur.select(F.col("a").alias("id"))
+        .unionByName(cur.select(F.col("b").alias("id")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    prev_n = cur.count()
+    try:
+        for it in range(max_iter):
+            # lineage MUST truncate every round here (not every
+            # checkpoint_every like min-label): each star pass references its
+            # input several times (symmetrize union + groupBy-join back), so
+            # the logical plan grows ~5x per round and Catalyst analysis time
+            # goes exponential by round 3 (measured 11s -> 21s -> >500s on a
+            # 40-node chain). localCheckpoint pins the edge set instead.
+            new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            gc_hint(new)
+            n = new.count()
+            grew = n != prev_n or new.join(cur, ["a", "b"], "left_anti").limit(1).count()
+            cur.unpersist()
+            cur, prev_n = new, n
+            if not grew:
+                stars = cur.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+                return (
+                    nodes.join(stars, "id", "left")
+                    .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+                )
+        raise RuntimeError(
+            f"connected_components(mode='star') did not converge in {max_iter} "
+            "rounds — expected O(log^2 n); check for pathological input"
+        )
+    finally:
+        nodes.unpersist()

@@ -24,8 +24,12 @@ identical double expressions, which agree bit-for-bit across Spark/DuckDB in
 practice (same class as the verified embedding-cosine quantization).
 
 Scale shape (100 TB):
-* count tables that are vocabulary-sized (document frequency, unigram
-  contexts, B hash buckets) broadcast; corpus-sized streams never collect.
+* vocabulary-sized count tables (document frequency, unigram contexts)
+  broadcast only under a probed row ceiling (``_maybe_broadcast``) and fall
+  back to a shuffle join above it — a real web vocabulary is 10^7–10^8
+  entries, too big for an unconditional driver broadcast. The B-hash-bucket
+  table broadcasts unconditionally (bounded by construction).
+  Corpus-sized streams never collect.
 * bigram count tables are corpus-bounded, so the pair-lookup join is a plain
   shuffle hash join on (a, b) — AQE may downgrade it to broadcast at small
   scale; at 100 TB the shuffle is the correct plan.
@@ -43,6 +47,35 @@ from pyspark.sql import functions as F
 SH_MULT = 1_000_003
 SH_MOD = 2_147_483_647
 
+# Broadcast ceiling for the vocabulary-shaped side tables (document
+# frequency, unigram contexts). A (tok:int, cnt:long) row broadcasts at
+# ~16-30 B + hashmap overhead, so 4M rows is ~a few hundred MB of driver /
+# executor memory — the conventional upper edge for an explicit broadcast.
+# Real 10^7–10^8-entry web vocabularies exceed it and take the shuffle path.
+BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _maybe_broadcast(t: DataFrame, max_rows: int) -> DataFrame:
+    """Broadcast ``t`` only when a bounded probe shows <= ``max_rows`` rows.
+
+    The probe is ``limit(max_rows + 1).count()`` — the same bounded
+    cardinality pattern as functions/binarize.py::fit_vocab — so deciding
+    never aggregates more than the ceiling. Above the ceiling the table is
+    returned unhinted and the join plans as a shuffle join (at web-scale
+    vocabularies an unconditional F.broadcast here is a driver OOM; pinned
+    by tests/test_plan_audit.py::test_scoring_broadcast_regimes). The probe
+    costs one plan-build-time job over the (already reduced) count table —
+    the detect_hot_keys trade-off.
+
+    The large regime carries a ``shuffle_hash`` hint (vocab table as build
+    side): each partition-shard of even a 10^8-entry vocabulary hashes in
+    executor memory, and the corpus-sized probe stream is never SORTED the
+    way a SortMergeJoin would — the same join-back shape as the bench
+    flagship's conditional join.
+    """
+    n = t.limit(max_rows + 1).count()
+    return F.broadcast(t) if n <= max_rows else t.hint("shuffle_hash")
+
 
 def _quant(col, scale: int):
     """round-half-up(col * scale) as BIGINT — the engine-portable quantizer
@@ -55,6 +88,7 @@ def tf_idf(
     doc_col: str = "doc_id",
     tokens_col: str = "tokens",
     quant: int = 1000,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Per-(doc, term) tf-idf over token-id sequences.
 
@@ -64,14 +98,15 @@ def tf_idf(
 
     Plan: explode -> groupBy(doc, tok) [the one corpus-sized exchange]
     -> document frequency from the (doc, tok) table itself (vocab-sized,
-    broadcast back) -> n_docs as a scalar aggregate crossJoined in (1-row
-    broadcast). No driver collect of data rows.
+    broadcast back under ``broadcast_max_rows``, shuffle-joined above it —
+    see ``_maybe_broadcast``) -> n_docs as a scalar aggregate crossJoined in
+    (1-row broadcast). No driver collect of data rows.
     """
     ex = df.select(F.col(doc_col).alias("__doc"), F.explode(tokens_col).alias("tok"))
     tfd = ex.groupBy("__doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfd = tfd.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("__n"))
-    out = tfd.join(F.broadcast(dfd), "tok").crossJoin(F.broadcast(n))
+    out = tfd.join(_maybe_broadcast(dfd, broadcast_max_rows), "tok").crossJoin(F.broadcast(n))
     tfidf = F.col("tf").cast("double") * F.log(
         F.col("__n").cast("double") / F.col("df").cast("double")
     )
@@ -105,6 +140,7 @@ def bigram_lm_loglik(
     doc_col: str = "doc_id",
     tokens_col: str = "tokens",
     quant: int = 1_000_000,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Add-one-smoothed bigram LM trained on ``train``, applied to ``score``.
 
@@ -130,7 +166,7 @@ def bigram_lm_loglik(
     sp = (
         _pairs(score, doc_col, tokens_col)
         .join(bi, ["a", "b"], "left")
-        .join(F.broadcast(ctx), ["a"], "left")
+        .join(_maybe_broadcast(ctx, broadcast_max_rows), ["a"], "left")
         .crossJoin(F.broadcast(v))
     )
     term = F.log(

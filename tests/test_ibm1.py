@@ -114,3 +114,85 @@ def test_full_alignment_pipeline(spark):
     # every sentence aligns diagonally (src k <-> tgt k by construction)
     for i, (s, _t) in enumerate(SENTS):
         assert out[f"s{i}"] == [(k, k) for k in range(len(s))], (i, out[f"s{i}"])
+
+
+def _ref_ibm2(sents, n_iter, lam, p0=0.08, include_null=True):
+    """Reference EM with the fast_align diagonal prior (fixed lambda):
+    delta propto w(i,j,n,m) * t(f|e); w(NULL)=p0, w(i,j)= (1-p0)*
+    exp(-lam*|i/n - j/m|) with i,j 1-based over the real lengths."""
+    def w(i, n, j, m):  # i = 0 means NULL
+        if i == 0:
+            return p0
+        return (1.0 - p0) * math.exp(-lam * abs(i / n - (j + 1) / m))
+
+    support = set()
+    for s, t_ in sents:
+        ss = ([NULL_ID] + s) if include_null else s
+        for e in ss:
+            for f in t_:
+                support.add((e, f))
+    fan = defaultdict(set)
+    for e, f in support:
+        fan[e].add(f)
+    t = {(e, f): 1.0 / len(fan[e]) for e, f in support}
+    for _ in range(n_iter):
+        cnt = defaultdict(float)
+        tot = defaultdict(float)
+        for s, t_ in sents:
+            ss = ([NULL_ID] + s) if include_null else s
+            n = len(s)
+            m = len(t_)
+            for j, f in enumerate(t_):
+                z = sum(w(i, n, j, m) * t[(e, f)] for i, e in enumerate(ss))
+                for i, e in enumerate(ss):
+                    c = w(i, n, j, m) * t[(e, f)] / z
+                    cnt[(e, f)] += c
+                    tot[e] += c
+        t = {ef: cnt[ef] / tot[ef[0]] for ef in cnt}
+    return t
+
+
+def test_ibm2_diagonal_matches_python_reference(spark):
+    """train_ibm1(diagonal_lambda=2.0) — the fast_align reparameterized-IBM-2
+    E step — matches the pure-python reference EM to 1e-9."""
+    df = spark.createDataFrame(
+        [(s, t) for s, t in SENTS], "src_tokens array<int>, tgt_tokens array<int>"
+    )
+    got = {(r["e"], r["f"]): r["t"]
+           for r in train_ibm1(df, n_iter=4, diagonal_lambda=2.0).collect()}
+    want = _ref_ibm2(SENTS, n_iter=4, lam=2.0)
+    assert set(got) == set(want)
+    for ef in want:
+        assert math.isclose(got[ef], want[ef], rel_tol=1e-9), ef
+    sums = defaultdict(float)
+    for (e, _f), v in got.items():
+        sums[e] += v
+    assert all(math.isclose(s, 1.0, rel_tol=1e-9) for s in sums.values())
+
+
+def test_ibm2_diagonal_disambiguates_repeated_tokens(spark):
+    """The case IBM-1 cannot solve and the diagonal prior exists for: a
+    source token occurring TWICE in a sentence. IBM-1's t-table is position-
+    blind, so both target words tie and Viterbi's deterministic tie-break
+    links both to the FIRST occurrence; with diagonal_lambda the nearer
+    (diagonal) occurrence wins — per-position links, as fast_align gives."""
+    rep = [([5, 5], [20, 21])] * 3 + [([5], [20]), ([5], [21])]
+    df = spark.createDataFrame(
+        [(f"s{i}", s, t) for i, (s, t) in enumerate(rep)],
+        "doc_id string, src_tokens array<int>, tgt_tokens array<int>",
+    )
+    # include_null=False isolates the positional question (with NULL on, the
+    # NULL word merely joins the tie — a separate effect)
+    flat_t = train_ibm1(df, n_iter=3, include_null=False)
+    flat = (
+        viterbi_align(df, flat_t, include_null=False)
+        .filter(F.col("doc_id") == "s0").collect()[0]
+    )
+    assert [(p["s"], p["t"]) for p in flat["links"]] == [(0, 0), (0, 1)]
+
+    diag_t = train_ibm1(df, n_iter=3, include_null=False, diagonal_lambda=4.0)
+    diag = (
+        viterbi_align(df, diag_t, include_null=False, diagonal_lambda=4.0)
+        .filter(F.col("doc_id") == "s0").collect()[0]
+    )
+    assert [(p["s"], p["t"]) for p in diag["links"]] == [(0, 0), (1, 1)]

@@ -247,6 +247,52 @@ def test_connected_components(spark):
         connected_components(df, "src", "dst", max_iter=1)
 
 
+def test_connected_components_star_parity(spark, sf_dir):
+    """mode='star' must label identically to min-label on the dedup_clusters
+    fixture's real minhash pair graph AND on the mixed toy graph."""
+    import __spark_entry__ as e
+    from marmot_spark.operators.dedup import minhash_lsh_pairs
+    from marmot_spark.operators.graph import connected_components
+
+    edges = [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (10, 12),
+             (20, 21), (30, 30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {r["id"]: r["comp"] for r in connected_components(df, "src", "dst").collect()}
+    got = {r["id"]: r["comp"]
+           for r in connected_components(df, "src", "dst", mode="star").collect()}
+    assert got == want
+
+    pairs = minhash_lsh_pairs(
+        e._docs(spark, sf_dir), "doc_id", "tokens",
+        k_shingle=3, n_hashes=8, rows_per_band=2, jaccard_threshold_ppm=300_000,
+    ).persist()
+    base = {r["id"]: r["comp"]
+            for r in connected_components(pairs, "id_a", "id_b").collect()}
+    star = {r["id"]: r["comp"]
+            for r in connected_components(pairs, "id_a", "id_b", mode="star").collect()}
+    pairs.unpersist()
+    assert base and star == base
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 256-node path graph (diameter 255): min-label at max_iter=5 CANNOT
+    finish it (rounds = diameter — the default mode's documented limit, which
+    its default max_iter=30 hits the same way on real quote-chains) —
+    mode='star' labels it in O(log^2 n) rounds with the whole chain collapsed
+    to component 0."""
+    import pytest as _pytest
+
+    from marmot_spark.operators.graph import connected_components
+
+    n = 256
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, "src", "dst", max_iter=5)
+    got = {r["id"]: r["comp"]
+           for r in connected_components(df, "src", "dst", mode="star").collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_bpe_checkpoint_parity_16_rounds(spark):
     """Lineage-truncation checkpointing (every 4 rounds) over a 16-merge
     budget: identical merge table to the pure-python reference AND to the
