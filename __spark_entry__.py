@@ -203,7 +203,15 @@ def _in_list_sql(words) -> str:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship pipeline on sf0.001: per-token context windows + n-gram
-    membership + as-of error backfill + sessionize + rolling counts, one DAG."""
+    membership + as-of error backfill + sessionize + rolling counts, one DAG.
+
+    The feature DAG comes from the SHARED construction site
+    (marmot_spark/plans/flagship.py::flagship_features — the same function
+    the sf0.1 bench flagship runs, so the smoke gate and the bench gate
+    cannot drift). At this smoke scale the serial knobs apply (n_chunks=1,
+    no hot keys); the n-gram membership decoration is entry-specific."""
+    from marmot_spark.plans.flagship import flagship_features
+
     sf = "/root/testdata/sf0.001"
     docs = _docs(spark, sf).withColumn(
         "seq_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 600)
@@ -214,20 +222,21 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("value").alias("err_value"),
     )
     dict2 = ngram_counts(docs, "tokens", 2).filter(F.col("count") >= 3).select("ngram").withColumn("n", F.lit(2))
-    base = sessionize(docs, "source", "seq_ts", 3600.0, order_extra=["doc_id"])
-    base = rolling_count(base, "source", "seq_ts", 7200, "rolling_docs")
-    base = asof_join(
-        base, errors, on="user_id", left_ts="seq_ts", right_ts="err_ts",
+    ex = flagship_features(
+        docs.withColumn("__toks", F.col("tokens")), errors,
+        keys=["doc_id", "user_id", "source", "lang"], ts_col="seq_ts",
+        entity_col="source", asof_on="user_id", right_ts="err_ts",
         payload=["err_value"], tie_break="err_event_id",
-    )
-    ex = explode_with_context(
-        base.withColumn("__toks", F.col("tokens")), k=2,
-        keep=["doc_id", "lang", "source", "seq_ts", "session_id", "rolling_docs", "err_value", "__toks"],
+        rolling_window_s=7200, session_gap_s=3600.0, order_extra=["doc_id"],
+        n_chunks=1, k_context=2, extra_keep=["__toks"],
     ).withColumnRenamed("__toks", "tokens")
     ex = with_ngram_membership(ex, dict2, max_n=2)
     return ex.select(
         "doc_id", "pos", "tok", "lag_1", "lag_2", "lead_1", "lead_2",
-        "in_lm_2", "session_id", "rolling_docs", "err_value", "lang", "source",
+        "in_lm_2",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("rolling_docs").cast("long").alias("rolling_docs"),
+        "err_value", "lang", "source",
     )
 
 

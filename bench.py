@@ -32,13 +32,6 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from marmot_spark.fixtures import write_fixture_dir
-from marmot_spark.operators.asof import asof_join
-from marmot_spark.operators.windows import (
-    explode_with_context,
-    rolling_count,
-    sessionize,
-    with_time_chunk,
-)
 from marmot_spark.session import build_session
 
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000"))
@@ -60,25 +53,23 @@ def _bench_data() -> str:
 
 
 def flagship_pipeline(spark, data_dir: str, broadcast_max_rows: int = 5_000_000):
-    """As-of backfill + sessionize + rolling count + per-token context windows.
+    """As-of backfill + sessionize + rolling count + per-token context windows
+    via the SHARED construction site (marmot_spark/plans/flagship.py — also
+    consumed by the driver's ``entry()``, so the two gates cannot drift; the
+    narrow-projection / one-collect / shared-chunk-exchange / conditional
+    join-back engineering lives there).
 
-    Hot-path hygiene for 100 TB: strings are dictionary-encoded to ints at
-    the scan (doc_id "dNNNNNNNN" -> long, source -> tinyint, tag -> tinyint)
-    so every shuffle/sort/explode moves fixed-width integers, not UTF8. The
-    per-feature-row payload is ~60B instead of ~120B — directly halves the
-    memory/shuffle traffic the 57M-row explode pays.
-
-    Shuffle topology: the wide ``tokens`` arrays (~85% of scan bytes) NEVER
-    enter a shuffle. Every sequence-level feature (rolling count, session id,
-    as-of label) is a pure function of (doc_key, seq_ts, source_key) — RANGE
-    frames give equal-ts rows equal counts, sessionize merges gap-0 rows, the
-    as-of match depends only on (key, ts) — so features are computed on a
-    NARROW projection (tiny exchanges), deduped on those keys, and equi-joined
-    back to the token-bearing scan. At this SF AQE turns that join into a
-    broadcast; on a 10^12-row cluster it is a shuffle-hash join moving the
-    narrow side into the wide side's layout — or a storage-partitioned join
-    with zero wide-side shuffle when the Iceberg table is bucketed by doc_key.
+    Bench-specific hot-path hygiene kept here at the scan: strings are
+    dictionary-encoded to ints (doc_id "dNNNNNNNN" -> long, source ->
+    tinyint, tag -> tinyint) so every shuffle/sort/explode moves fixed-width
+    integers, not UTF8 — the per-feature-row payload is ~60B instead of
+    ~120B, halving what the 57M-row explode pays. source has 4 values with a
+    55%-hot key: n_chunks=16 keeps the per-entity ordered passes parallel
+    (4 entities x 16 chunks = 64 tasks); doc_keys 0/1 are the salted as-of
+    hot keys.
     """
+    from marmot_spark.plans.flagship import flagship_features
+
     src_code = (
         F.when(F.col("source") == "web", 0).when(F.col("source") == "news", 1)
         .when(F.col("source") == "wiki", 2).otherwise(3).cast("tinyint")
@@ -97,76 +88,13 @@ def flagship_pipeline(spark, data_dir: str, broadcast_max_rows: int = 5_000_000)
         (F.col("tag") == "OK").cast("tinyint").alias("tag_ok"),
         F.col("score").cast("float").alias("score"),  # ML-feature precision
     )
-    # source has 4 values with a 55%-hot key: chunked scans keep the
-    # per-entity ordered passes parallel (4 entities x 16 chunks = 64 tasks).
-    # rolling_count first: its probe-join references its input 3x, so feed it
-    # the cheap scan rather than the sessionize output. ALL plan-time bounds
-    # (per-source chunk bounds + per-hot-doc as-of salt ranges) come from ONE
-    # collect over the raw scan — each operator collecting its own would
-    # re-execute the whole upstream plan at plan-build time.
-    hot_docs = [0, 1]
-    narrow = seqs.select("doc_key", "seq_ts", "source_key")
-    ts_d = F.col("seq_ts").cast("double")
-    brows = (
-        narrow.groupBy(F.lit(0).alias("__g"), F.col("source_key").cast("long").alias("__k"))
-        .agg(F.min(ts_d).alias("mn"), F.max(ts_d).alias("mx"))
-        .unionByName(
-            seqs.filter(F.col("doc_key").isin(hot_docs))
-            .groupBy(F.lit(1).alias("__g"), F.col("doc_key").alias("__k"))
-            .agg(F.min(F.unix_micros("seq_ts").cast("double")).alias("mn"),
-                 F.max(F.unix_micros("seq_ts").cast("double")).alias("mx"))
-        )
-        .collect()
-    )
-    bounds = {int(r["__k"]): (r["mn"], r["mx"]) for r in brows if r["__g"] == 0}
-    hot_bounds_us = {int(r["__k"]): (int(r["mn"]), int(r["mx"])) for r in brows if r["__g"] == 1}
-    # one chunk column shared by both chunked operators: sessionize partitions
-    # by the same (entity, __tchunk) as rolling's window, so its exchange is
-    # elided — the narrow feature frame shuffles once for both operators
-    base = with_time_chunk(narrow, "source_key", "seq_ts", 16, bounds=bounds)
-    base = rolling_count(base, "source_key", "seq_ts", 7200, "rolling_docs",
-                         n_chunks=16, bounds=bounds, chunk_col="__tchunk")
-    base = sessionize(base, "source_key", "seq_ts", 3600.0, order_extra=["doc_key"],
-                      n_chunks=16, bounds=bounds, chunk_col="__tchunk").drop("__tchunk")
-    # narrow the per-feature-row payload before the 95x explode: session ids
-    # and 2h rolling counts fit int32 by construction (sessions per source are
-    # bounded by timeline seconds / gap), and every byte here is paid 57M times
-    base = base.withColumn("session_id", F.col("session_id").cast("int")).withColumn(
-        "rolling_docs", F.col("rolling_docs").cast("int")
-    )
-    base = asof_join(
-        base, labels, on="doc_key", left_ts="seq_ts", right_ts="label_ts",
-        payload=["tag_ok", "score"], tie_break="label_seq",
-        hot_keys=hot_docs, n_salts=16, hot_salt_mode="range",
-        hot_bounds_us=hot_bounds_us,
-    )
-    # every feature above is a function of these three keys (equal-ts rows get
-    # equal RANGE counts / session ids; the as-of match is per (key, ts)), so
-    # duplicate (doc, ts, source) rows carry identical values: dedupe, then
-    # join the features back onto the token-bearing scan — the wide arrays
-    # never shuffle, and row multiplicity is restored exactly
-    feats = base.select(
-        "doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"
-    ).dropDuplicates(["doc_key", "seq_ts", "source_key"])
-    # join-back strategy is CONDITIONAL on the narrow side's size. feats has
-    # at most one row per sequence, so the (metadata-only) scan row count is
-    # an exact upper bound; at ~48B/row, 5M rows ~= 240MB — the broadcast
-    # ceiling. Under it, force-broadcast the NARROW side (size statistics
-    # would otherwise let Spark broadcast the token-bearing scan, whose
-    # compressed parquet footprint understates the in-memory array width).
-    # Over it, a driver broadcast is an OOM scale-killer: use a shuffle-hash
-    # join (narrow side builds the hash table; no sort of the wide rows) —
-    # the sandbox stand-in for the cluster plan, a storage-partitioned join
-    # with ZERO wide-side shuffle when the Iceberg table is bucketed by
-    # doc_key.
-    join_keys = ["doc_key", "seq_ts", "source_key"]
-    n_seqs = spark.read.parquet(f"{data_dir}/sequences.parquet").count()
-    if n_seqs <= broadcast_max_rows:
-        wide = seqs.join(F.broadcast(feats), join_keys)
-    else:
-        wide = seqs.join(feats.hint("shuffle_hash"), join_keys)
-    return explode_with_context(
-        wide, k=2, keep=["doc_key", "seq_ts", "source_key", "session_id", "rolling_docs", "tag_ok", "score"]
+    return flagship_features(
+        seqs, labels,
+        keys=["doc_key", "source_key"], ts_col="seq_ts", entity_col="source_key",
+        asof_on="doc_key", right_ts="label_ts", payload=["tag_ok", "score"],
+        tie_break="label_seq", rolling_window_s=7200, session_gap_s=3600.0,
+        order_extra=["doc_key"], n_chunks=16, hot_keys=[0, 1], n_salts=16,
+        broadcast_max_rows=broadcast_max_rows, k_context=2,
     )
 
 
