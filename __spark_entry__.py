@@ -2533,14 +2533,26 @@ def _q_text_metrics(spark, sf):
     """All per-document text-analysis signals as ONE narrow codegen
     projection (the plan a 100 TB curation pass wants — no joins, no
     shuffle, one scan): quality ratios, language-ID, token counts,
-    repetition fractions, rolling-hash fingerprint, and the composite
-    C4/Gopher keep/drop flags."""
+    repetition fractions, rolling-hash fingerprint, the composite
+    C4/Gopher keep/drop flags, and the PII-redaction pass (counts +
+    redacted text over deterministically synthesized PII — the raw corpus
+    carries none, so the patterns are exercised against text built from
+    doc_id inside the query and identically inside the oracle)."""
+    from marmot_spark.functions.redact import pii_count_cols, redact_pii_col
     from marmot_spark.functions.text import (
         doc_fingerprint_col, lang_id_col, quality_cols, repetition_cols,
         token_count_cols,
     )
 
-    d = _docs(spark, sf)
+    d = _docs(spark, sf).withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"), F.lit(" mail u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.1.2."), (F.col("doc_id") % 250).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" extra 8.8.8.8")).otherwise(F.lit("")),
+            F.lit(" tel 555-123-4567"),
+        ),
+    )
     q = quality_cols("text")
     tc = token_count_cols("text")
     r = repetition_cols("text")
@@ -2564,23 +2576,42 @@ def _q_text_metrics(spark, sf):
         low_stop.alias("f_low_stopword"),
         high_rep.alias("f_high_repetition"),
         keep.alias("keep"),
+        *[c.alias(k) for k, c in pii_count_cols("pii_text").items()],
+        redact_pii_col("pii_text").alias("text_redacted"),
     )
 
 
 def _sql_text_metrics() -> str:
+    from marmot_spark.functions.redact import pii_oracle_sql
+
+    pii_src = (
+        "concat(text, ' mail u', CAST(doc_id AS VARCHAR), '@ex.com ip 10.1.2.', "
+        "CAST(doc_id % 250 AS VARCHAR), "
+        "CASE WHEN doc_id % 3 = 0 THEN ' extra 8.8.8.8' ELSE '' END, "
+        "' tel 555-123-4567')"
+    )
+    o = pii_oracle_sql("pii_text")
+    pii = (
+        f"SELECT doc_id, {o['n_email']} AS n_email, {o['n_ipv4']} AS n_ipv4, "
+        f"{o['n_phone']} AS n_phone, {o['text_redacted']} AS text_redacted "
+        f"FROM (SELECT doc_id, {pii_src} AS pii_text FROM documents)"
+    )
     return f"""
 WITH q AS ({_SQL_QUALITY}), l AS ({_sql_lang_id()}), tc AS ({_SQL_TOKEN_COUNTS}),
-r AS ({_sql_text_repetition()}), fp AS ({_SQL_FINGERPRINT}), qf AS ({_sql_quality_filter()})
+r AS ({_sql_text_repetition()}), fp AS ({_SQL_FINGERPRINT}), qf AS ({_sql_quality_filter()}),
+pii AS ({pii})
 SELECT q.doc_id, l.lang, q.n_chars_obs, q.n_punct, q.n_stop, q.stop_ratio_ppm,
   q.punct_ratio_ppm, l.pred_lang, tc.n_tok_ws, tc.n_alpha_runs, tc.n_num_runs,
   r.dup_2gram_ppm, r.dup_3gram_ppm, fp.fingerprint,
-  qf.f_too_short, qf.f_high_punct, qf.f_low_stopword, qf.f_high_repetition, qf.keep
+  qf.f_too_short, qf.f_high_punct, qf.f_low_stopword, qf.f_high_repetition, qf.keep,
+  pii.n_email, pii.n_ipv4, pii.n_phone, pii.text_redacted
 FROM q
 JOIN l ON l.doc_id = q.doc_id
 JOIN tc ON tc.doc_id = q.doc_id
 JOIN r ON r.doc_id = q.doc_id
 JOIN fp ON fp.doc_id = q.doc_id
 JOIN qf ON qf.doc_id = q.doc_id
+JOIN pii ON pii.doc_id = q.doc_id
 """
 
 
@@ -2589,13 +2620,28 @@ def _q_text_curation(spark, sf):
     tf-idf (aggregated per doc: term count / sum / max of the quantized
     scores), held-out bigram-LM fluency (docs with doc_id%5==0), and DSIR
     importance weights toward lang='en' — all left-joined onto the full
-    doc-id spine (docs outside a scorer's domain carry NULLs)."""
+    doc-id spine (docs outside a scorer's domain carry NULLs), plus the
+    CCNet-style cross-corpus boilerplate line removal (the raw corpus is
+    single-line, so multi-line docs are synthesized inside the query — a
+    per-source header that becomes corpus boilerplate, the real text, a
+    per-doc unique footer — identically in the oracle)."""
+    from marmot_spark.operators.lines import strip_boilerplate_lines
     from marmot_spark.operators.scoring import (
         bigram_lm_loglik, importance_weights, tf_idf,
     )
 
     docs = _docs(spark, sf)
     base = docs.select("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("read "), F.col("source"), F.lit(" daily\n"), F.col("text"),
+            F.lit("\nfooter "), F.col("doc_id").cast("string"),
+        ).alias("mtext"),
+    )
+    bp = strip_boilerplate_lines(synth, "doc_id", "mtext", min_docs=3).select(
+        "doc_id", "n_lines", "n_lines_kept", "text_clean"
+    )
     ta = (
         tf_idf(docs, "doc_id", "tokens", quant=1000)
         .groupBy("doc_id")
@@ -2617,6 +2663,7 @@ def _q_text_curation(spark, sf):
         base.join(ta, "doc_id", "left")
         .join(lm, "doc_id", "left")
         .join(iw, "doc_id", "left")
+        .join(bp, "doc_id", "left")
     )
 
 
@@ -2626,13 +2673,35 @@ WITH t AS ({_SQL_TFIDF}), lm AS ({_SQL_LM_SCORE}), iw AS ({_sql_importance_weigh
 ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
          CAST(sum(tfidf_q) AS BIGINT) AS tfidf_sum_q,
          CAST(max(tfidf_q) AS BIGINT) AS tfidf_max_q
-       FROM t GROUP BY doc_id)
+       FROM t GROUP BY doc_id),
+synth AS (SELECT doc_id,
+            concat('read ', source, ' daily', chr(10), text, chr(10),
+                   'footer ', CAST(doc_id AS VARCHAR)) AS mtext
+          FROM documents),
+ln AS (SELECT doc_id,
+         unnest(string_split(mtext, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(mtext, chr(10))))) AS pos
+       FROM synth),
+bl AS (SELECT trim(lower(line)) AS nl FROM ln
+       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT doc_id, pos, line FROM ln
+         WHERE trim(lower(line)) NOT IN (SELECT nl FROM bl)),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          CAST(count(*) AS INT) AS n_lines_kept
+        FROM kept GROUP BY doc_id),
+bp AS (SELECT s.doc_id,
+         CAST(len(string_split(s.mtext, chr(10))) AS INT) AS n_lines,
+         COALESCE(reb.n_lines_kept, 0) AS n_lines_kept,
+         COALESCE(reb.text_clean, '') AS text_clean
+       FROM synth s LEFT JOIN reb ON reb.doc_id = s.doc_id)
 SELECT d.doc_id, ta.n_terms, ta.tfidf_sum_q, ta.tfidf_max_q,
-  lm.n_bigrams, lm.ll_q, iw.n_feats, iw.w_q
+  lm.n_bigrams, lm.ll_q, iw.n_feats, iw.w_q,
+  bp.n_lines, bp.n_lines_kept, bp.text_clean
 FROM documents d
 LEFT JOIN ta ON ta.doc_id = d.doc_id
 LEFT JOIN lm ON lm.doc_id = d.doc_id
 LEFT JOIN iw ON iw.doc_id = d.doc_id
+LEFT JOIN bp ON bp.doc_id = d.doc_id
 """
 
 
