@@ -1079,21 +1079,35 @@ def _q_dedup_clusters(spark, sf):
     """Duplicate CLUSTERS: minhash-LSH near-dup pairs collapsed into
     transitive components (operators/graph.py::connected_components —
     min-label propagation, 2 hash exchanges per round, rounds = cluster
-    diameter) with cluster id = min doc_id and cluster size. This is the
-    operator a real dedup pass ends with: keep one doc per cluster. Oracle:
-    DuckDB recursive CTE computing min reachable id over the same pairs."""
-    from marmot_spark.operators.graph import connected_components
+    diameter) with cluster id = min doc_id and cluster size, finished by the
+    SURVIVOR ELECTION a real dedup pass ends with
+    (operators/graph.py::keep_best): per cluster keep the doc with the most
+    characters (the Lee-et-al keep-longest policy), min doc_id on ties —
+    keep_id + is_kept per member. Oracle: DuckDB recursive CTE computing min
+    reachable id over the same pairs, argmax via max+min two-step."""
+    from marmot_spark.operators.graph import connected_components, keep_best
 
+    docs = _docs(spark, sf)
     pairs = minhash_lsh_pairs(
-        _docs(spark, sf), "doc_id", "tokens",
+        docs, "doc_id", "tokens",
         k_shingle=3, n_hashes=8, rows_per_band=2, jaccard_threshold_ppm=300_000,
     )
     comps = connected_components(pairs, "id_a", "id_b")
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comps.join(F.broadcast(sizes), "comp").select(
-        F.col("id").alias("doc_id"),
-        F.col("comp").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+    kb = keep_best(
+        comps, docs.select(F.col("doc_id").alias("id"), F.col("n_chars")),
+        id_col="id", comp_col="comp", score_col="n_chars",
+    )
+    return (
+        comps.join(F.broadcast(sizes), "comp")
+        .join(kb.select("id", "keep_id", "is_kept"), "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "keep_id",
+            "is_kept",
+        )
     )
 
 
@@ -1107,9 +1121,16 @@ r AS (
   SELECT r.id, e.b AS reach FROM r JOIN e ON e.a = r.reach
 ),
 comps AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id),
-sizes AS (SELECT cluster_id, count(*) AS n FROM comps GROUP BY cluster_id)
-SELECT comps.id AS doc_id, comps.cluster_id, CAST(sizes.n AS BIGINT) AS cluster_size
-FROM comps JOIN sizes USING (cluster_id)
+sizes AS (SELECT cluster_id, count(*) AS n FROM comps GROUP BY cluster_id),
+scored AS (SELECT c.id, c.cluster_id, d.n_chars
+           FROM comps c JOIN documents d ON d.doc_id = c.id),
+mx AS (SELECT cluster_id, max(n_chars) AS m FROM scored GROUP BY cluster_id),
+best AS (SELECT s.cluster_id, CAST(min(s.id) AS BIGINT) AS keep_id
+         FROM scored s JOIN mx ON mx.cluster_id = s.cluster_id AND s.n_chars = mx.m
+         GROUP BY s.cluster_id)
+SELECT comps.id AS doc_id, comps.cluster_id, CAST(sizes.n AS BIGINT) AS cluster_size,
+  best.keep_id, comps.id = best.keep_id AS is_kept
+FROM comps JOIN sizes USING (cluster_id) JOIN best USING (cluster_id)
 """
 
 
@@ -2624,10 +2645,12 @@ def _q_text_curation(spark, sf):
     CCNet-style cross-corpus boilerplate line removal (the raw corpus is
     single-line, so multi-line docs are synthesized inside the query — a
     per-source header that becomes corpus boilerplate, the real text, a
-    per-doc unique footer — identically in the oracle)."""
+    per-doc unique footer — identically in the oracle), and the closed-form
+    naive-Bayes log-odds quality classifier (CCNet/GPT-3-style quality
+    filter, positive class lang='en') trained and applied in the same DAG."""
     from marmot_spark.operators.lines import strip_boilerplate_lines
     from marmot_spark.operators.scoring import (
-        bigram_lm_loglik, importance_weights, tf_idf,
+        bigram_lm_loglik, importance_weights, nb_logodds, tf_idf,
     )
 
     docs = _docs(spark, sf)
@@ -2659,17 +2682,20 @@ def _q_text_curation(spark, sf):
     iw = importance_weights(
         docs, F.col("lang") == "en", "doc_id", "tokens", k=2, n_buckets=1024
     )
+    nb = nb_logodds(docs, F.col("lang") == "en", "doc_id", "tokens")
     return (
         base.join(ta, "doc_id", "left")
         .join(lm, "doc_id", "left")
         .join(iw, "doc_id", "left")
         .join(bp, "doc_id", "left")
+        .join(nb, "doc_id", "left")
     )
 
 
 def _sql_text_curation() -> str:
     return f"""
-WITH t AS ({_SQL_TFIDF}), lm AS ({_SQL_LM_SCORE}), iw AS ({_sql_importance_weights()}),
+WITH {DOCS_T}, {DOCS_E},
+t AS ({_SQL_TFIDF}), lm AS ({_SQL_LM_SCORE}), iw AS ({_sql_importance_weights()}),
 ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
          CAST(sum(tfidf_q) AS BIGINT) AS tfidf_sum_q,
          CAST(max(tfidf_q) AS BIGINT) AS tfidf_max_q
@@ -2693,15 +2719,36 @@ bp AS (SELECT s.doc_id,
          CAST(len(string_split(s.mtext, chr(10))) AS INT) AS n_lines,
          COALESCE(reb.n_lines_kept, 0) AS n_lines_kept,
          COALESCE(reb.text_clean, '') AS text_clean
-       FROM synth s LEFT JOIN reb ON reb.doc_id = s.doc_id)
+       FROM synth s LEFT JOIN reb ON reb.doc_id = s.doc_id),
+nb_cc AS (SELECT tok,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cn
+  FROM docs_e GROUP BY tok),
+nb_tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM nb_cc),
+nb_w AS (SELECT tok, CAST(floor(
+    (ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)))
+   - ln((CAST(cn AS DOUBLE) + 1.0) / (CAST(nn AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))))
+    * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM nb_cc, nb_tot),
+nb_pr AS (SELECT CAST(floor(ln(
+    (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+  / (CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE) + 1.0))
+    * 1000000.0 + 0.5) AS BIGINT) AS prior_q FROM docs_t),
+nb AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nb_toks,
+         CAST(pr.prior_q + sum(w.w) AS BIGINT) AS nb_logodds_q,
+         (pr.prior_q + sum(w.w)) > 0 AS nb_keep
+       FROM docs_e e JOIN nb_w w USING (tok), nb_pr pr
+       GROUP BY e.doc_id, pr.prior_q)
 SELECT d.doc_id, ta.n_terms, ta.tfidf_sum_q, ta.tfidf_max_q,
   lm.n_bigrams, lm.ll_q, iw.n_feats, iw.w_q,
-  bp.n_lines, bp.n_lines_kept, bp.text_clean
+  bp.n_lines, bp.n_lines_kept, bp.text_clean,
+  nb.nb_toks, nb.nb_logodds_q, nb.nb_keep
 FROM documents d
 LEFT JOIN ta ON ta.doc_id = d.doc_id
 LEFT JOIN lm ON lm.doc_id = d.doc_id
 LEFT JOIN iw ON iw.doc_id = d.doc_id
 LEFT JOIN bp ON bp.doc_id = d.doc_id
+LEFT JOIN nb ON nb.doc_id = d.doc_id
 """
 
 

@@ -211,3 +211,45 @@ def _connected_components_star(
         )
     finally:
         nodes.unpersist()
+
+
+def keep_best(
+    comps: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "comp",
+    score_col: str = "score",
+) -> DataFrame:
+    """Survivor election — finish the dedup pass ``connected_components``
+    starts: per duplicate cluster keep exactly one member, the one with the
+    highest ``score_col`` (quality score, doc length, recency…), smallest id
+    on ties. "Keep the best copy, drop the rest" is the policy the public
+    curation pipelines apply after near-dup clustering (keep-longest in Lee
+    et al. 2022; keep-highest-quality in Penedo et al. 2023 RefinedWeb).
+
+    ``comps`` is (id_col, comp_col) — the ``connected_components`` output;
+    ``scores`` is (id_col, score_col) — any per-doc signal. Returns
+    (id_col, comp_col, keep_id, is_kept): every input row, its cluster's
+    elected survivor, and the boolean drop decision.
+
+    Plan: one equi-join to attach scores (both sides keyed by id), one
+    groupBy(comp) max over a (score, -id) struct — the argmax and the
+    min-id tie-break in a single exchange keyed by cluster — and one
+    cluster-keyed join back (cluster table is clusters-sized, broadcast by
+    AQE when small). No window over an unpartitioned frame, no collect.
+    """
+    scored = comps.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("__s")), id_col
+    )
+    best = scored.groupBy(comp_col).agg(
+        F.max(F.struct(F.col("__s"), (-F.col(id_col)).alias("__negid"))).alias("__b")
+    ).select(comp_col, (-F.col("__b.__negid")).alias("keep_id"))
+    return (
+        scored.join(best, comp_col)
+        .select(
+            id_col,
+            comp_col,
+            F.col("keep_id").cast("long").alias("keep_id"),
+            (F.col(id_col) == F.col("keep_id")).alias("is_kept"),
+        )
+    )

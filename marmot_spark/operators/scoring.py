@@ -258,3 +258,91 @@ def importance_weights(
         .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("__lr").alias("w_q"))
         .select(F.col("__doc").alias(doc_col), "n_feats", "w_q")
     )
+
+
+def nb_logodds(
+    df: DataFrame,
+    pos_pred,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    alpha: float = 1.0,
+    quant: int = 1_000_000,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Closed-form naive-Bayes log-odds quality classifier, trained and
+    applied in one DAG — the Spark-native analog of the fastText/linear
+    "quality filter" used by the public curation pipelines (CCNet, Wenzek et
+    al. 2020; the GPT-3 Wikipedia-vs-CommonCrawl classifier, Brown et al.
+    2020 appendix A): label a positive class with ``pos_pred`` (e.g. a
+    known-clean source), learn per-token evidence, score every doc.
+
+    Multinomial NB with add-``alpha`` smoothing has a closed-form fit —
+    per-token weight
+
+        w(tok) = ln((c_pos + a) / (N_pos + a*V)) - ln((c_neg + a) / (N_neg + a*V))
+
+    (c = class token counts, N = class totals, V = vocabulary size) and a
+    doc's log-odds is ``prior + sum_t w(t)`` with
+    ``prior = ln((docs_pos + 1) / (docs_neg + 1))``. Each weight is
+    quantized to 1/``quant`` units BEFORE the per-doc sum (the module-wide
+    numeric contract), so the returned score is an exact BIGINT sum.
+
+    Plan: one corpus-sized (doc, tok) explode consumed by both the count
+    aggregation and the scoring join; class totals + vocabulary size as a
+    1-row broadcast crossJoin; the vocabulary-sized weight table joins back
+    under ``_maybe_broadcast`` (broadcast under the ceiling, shuffle-hash
+    above — a 10^7-entry web vocabulary must not be an unconditional driver
+    broadcast); per-doc sum groups by doc id. No driver collect anywhere.
+
+    Returns (doc_col, nb_toks, nb_logodds_q, nb_keep) — nb_keep is the
+    decision ``log-odds > 0``. Docs with zero tokens drop out (no evidence);
+    OOV tokens cannot occur when scoring the training corpus itself, which
+    is this operator's contract (train+apply in one pass); scoring a foreign
+    corpus needs the explicit OOV weight a persisted-model variant would
+    carry.
+    """
+    sp = df.select(
+        F.col(doc_col).alias("__doc"),
+        pos_pred.alias("__y"),
+        F.explode(tokens_col).alias("tok"),
+    )
+    cc = sp.groupBy("tok").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("cn"),
+    )
+    tot = cc.agg(
+        F.sum("cp").alias("__np"),
+        F.sum("cn").alias("__nn"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    a = F.lit(float(alpha))
+    av = a * F.col("__v").cast("double")
+    w = cc.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        _quant(
+            F.log((F.col("cp").cast("double") + a) / (F.col("__np").cast("double") + av))
+            - F.log((F.col("cn").cast("double") + a) / (F.col("__nn").cast("double") + av)),
+            quant,
+        ).alias("__w"),
+    )
+    prior = df.agg(
+        _quant(
+            F.log(
+                (F.sum(F.when(pos_pred, 1).otherwise(0)).cast("double") + F.lit(1.0))
+                / (F.sum(F.when(pos_pred, 0).otherwise(1)).cast("double") + F.lit(1.0))
+            ),
+            quant,
+        ).alias("__prior")
+    )
+    return (
+        sp.join(_maybe_broadcast(w, broadcast_max_rows), "tok")
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("nb_toks"), F.sum("__w").alias("__sw"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col("__doc").alias(doc_col),
+            F.col("nb_toks").cast("long").alias("nb_toks"),
+            (F.col("__prior") + F.col("__sw")).cast("long").alias("nb_logodds_q"),
+            ((F.col("__prior") + F.col("__sw")) > 0).alias("nb_keep"),
+        )
+    )

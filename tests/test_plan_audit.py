@@ -332,3 +332,12 @@ def test_scoring_broadcast_regimes(spark, sf_dir):
     assert sorted(map(tuple, big_tfidf.collect())) == small
     small_lm = sorted(map(tuple, bigram_lm_loglik(train, score, "doc_id", "tokens").collect()))
     assert sorted(map(tuple, big_lm.collect())) == small_lm
+
+    from marmot_spark.operators.scoring import nb_logodds
+
+    big_nb = nb_logodds(docs, F.col("lang") == "en", broadcast_max_rows=0)
+    plan = plan_of(big_nb)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    small_nb = sorted(map(tuple, nb_logodds(docs, F.col("lang") == "en").collect()))
+    assert sorted(map(tuple, big_nb.collect())) == small_nb

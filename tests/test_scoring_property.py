@@ -113,3 +113,43 @@ def test_bigram_lm_property(docs, mod):
             ]
             want[i] = (len(terms), sum(terms))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=DOCS)
+def test_nb_logodds_property(docs):
+    """Naive-Bayes log-odds vs a direct python model: exact integer equality
+    (quantized per token before the sum), including the doc-count prior and
+    the keep decision, labels = doc_id parity."""
+    from hypothesis import assume
+
+    from marmot_spark.operators.scoring import nb_logodds
+
+    assume(any(toks for toks in docs))
+    spark = _SPARK["s"]
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: (r["nb_toks"], r["nb_logodds_q"], r["nb_keep"])
+           for r in nb_logodds(df, F.col("doc_id") % 2 == 0).collect()}
+
+    cp: dict = {}
+    cn: dict = {}
+    for i, toks in rows:
+        tgt = cp if i % 2 == 0 else cn
+        for t in toks:
+            tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(cp) | set(cn)
+    v = float(len(vocab))
+    n_pos, n_neg = sum(cp.values()), sum(cn.values())
+    w = {t: math.floor((math.log((cp.get(t, 0) + 1.0) / (n_pos + v))
+                        - math.log((cn.get(t, 0) + 1.0) / (n_neg + v)))
+                       * 1e6 + 0.5)
+         for t in vocab}
+    d_pos = sum(1 for i, _ in rows if i % 2 == 0)
+    prior = math.floor(math.log((d_pos + 1.0) / (len(rows) - d_pos + 1.0)) * 1e6 + 0.5)
+    want = {}
+    for i, toks in rows:
+        if toks:
+            s = prior + sum(w[t] for t in toks)
+            want[i] = (len(toks), s, s > 0)
+    assert got == want

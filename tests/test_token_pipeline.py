@@ -576,3 +576,22 @@ def test_importance_weights_matches_python(spark):
         if fs:
             want[d] = (len(fs), sum(lr[f] for f in fs))
     assert got == want
+
+
+def test_keep_best_survivor_election(spark):
+    """keep_best elects exactly one survivor per cluster: the max-score
+    member, min id on ties; every member carries the survivor's id and the
+    correct is_kept flag."""
+    from marmot_spark.operators.graph import keep_best
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),        # cluster 1: scores 5, 9, 9 -> tie, keep 2
+         (10, 10), (11, 10),            # cluster 10: keep 11 (higher score)
+         (20, 20)],                     # singleton: keeps itself
+        "id long, comp long")
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 1), (11, 4), (20, 0)], "id long, score long")
+    got = {r["id"]: (r["comp"], r["keep_id"], r["is_kept"])
+           for r in keep_best(comps, scores).collect()}
+    assert got == {1: (1, 2, False), 2: (1, 2, True), 3: (1, 2, False),
+                   10: (10, 11, False), 11: (10, 11, True), 20: (20, 20, True)}
