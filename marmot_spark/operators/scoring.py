@@ -297,9 +297,10 @@ def nb_logodds(
     Returns (doc_col, nb_toks, nb_logodds_q, nb_keep) — nb_keep is the
     decision ``log-odds > 0``. Docs with zero tokens drop out (no evidence);
     OOV tokens cannot occur when scoring the training corpus itself, which
-    is this operator's contract (train+apply in one pass); scoring a foreign
-    corpus needs the explicit OOV weight a persisted-model variant would
-    carry.
+    is this operator's contract (train+apply in one pass). To score a
+    FOREIGN corpus (train on a clean reference, filter the raw web crawl —
+    the actual CCNet/GPT-3 deployment shape), use ``nb_fit`` + ``nb_score``,
+    which carry the explicit OOV weight.
     """
     sp = df.select(
         F.col(doc_col).alias("__doc"),
@@ -344,5 +345,105 @@ def nb_logodds(
             F.col("nb_toks").cast("long").alias("nb_toks"),
             (F.col("__prior") + F.col("__sw")).cast("long").alias("nb_logodds_q"),
             ((F.col("__prior") + F.col("__sw")) > 0).alias("nb_keep"),
+        )
+    )
+
+
+def nb_fit(
+    df: DataFrame,
+    pos_pred,
+    tokens_col: str = "tokens",
+    alpha: float = 1.0,
+    quant: int = 1_000_000,
+) -> tuple:
+    """Fit the naive-Bayes quality model of ``nb_logodds`` WITHOUT applying
+    it — the deployment split: train once on a labeled reference corpus,
+    persist/broadcast the model, score any number of foreign corpora with
+    ``nb_score``.
+
+    Returns ``(weights, consts)``: ``weights`` is the vocabulary-sized
+    (tok, w_q) table; ``consts`` is ONE row (prior_q, oov_w_q) — the
+    doc-count prior and the add-``alpha``-smoothed weight of a token never
+    seen in training, ``ln(a/(N_pos+aV)) - ln(a/(N_neg+aV))``, the exact
+    limit of the in-vocabulary formula at count 0/0. Same quantization
+    contract as the whole module (integer micro-units per term). Both are
+    small unexecuted plans — persist ``weights`` (or write it to a table)
+    when scoring more than one corpus so the fit is not recomputed.
+
+    The fit plan is the training half of ``nb_logodds``: one (doc, tok)
+    explode, one vocab-keyed count aggregation, class totals as a 1-row
+    crossJoin; nothing corpus-sized ever collects.
+    """
+    sp = df.select(pos_pred.alias("__y"), F.explode(tokens_col).alias("tok"))
+    cc = sp.groupBy("tok").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("cn"),
+    )
+    tot = cc.agg(
+        F.sum("cp").alias("__np"),
+        F.sum("cn").alias("__nn"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    a = F.lit(float(alpha))
+    av = a * F.col("__v").cast("double")
+    weights = cc.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        _quant(
+            F.log((F.col("cp").cast("double") + a) / (F.col("__np").cast("double") + av))
+            - F.log((F.col("cn").cast("double") + a) / (F.col("__nn").cast("double") + av)),
+            quant,
+        ).alias("w_q"),
+    )
+    prior = df.agg(
+        _quant(
+            F.log(
+                (F.sum(F.when(pos_pred, 1).otherwise(0)).cast("double") + F.lit(1.0))
+                / (F.sum(F.when(pos_pred, 0).otherwise(1)).cast("double") + F.lit(1.0))
+            ),
+            quant,
+        ).alias("prior_q")
+    )
+    oov = tot.select(
+        _quant(
+            F.log(a / (F.col("__np").cast("double") + av))
+            - F.log(a / (F.col("__nn").cast("double") + av)),
+            quant,
+        ).alias("oov_w_q")
+    )
+    consts = prior.crossJoin(F.broadcast(oov))
+    return weights, consts
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    consts: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Apply an ``nb_fit`` model to ANY corpus — out-of-vocabulary tokens
+    take the model's smoothed OOV weight (left join + coalesce), so a raw
+    web crawl full of tokens the clean reference never saw still scores on
+    the same scale. Returns the ``nb_logodds`` schema
+    (doc_col, nb_toks, nb_logodds_q, nb_keep); scoring the training corpus
+    itself reproduces ``nb_logodds`` exactly (no OOV hits the coalesce).
+
+    Plan: one (doc, tok) explode, LEFT join against the weight table under
+    the conditional-broadcast ceiling (shuffle-hash above it), per-doc sum
+    keyed by doc id, model constants as a 1-row broadcast crossJoin.
+    """
+    sp = df.select(F.col(doc_col).alias("__doc"), F.explode(tokens_col).alias("tok"))
+    return (
+        sp.join(_maybe_broadcast(weights, broadcast_max_rows), "tok", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("__doc", F.coalesce(F.col("w_q"), F.col("oov_w_q")).alias("__w"), "prior_q")
+        .groupBy("__doc", "prior_q")
+        .agg(F.count(F.lit(1)).alias("nb_toks"), F.sum("__w").alias("__sw"))
+        .select(
+            F.col("__doc").alias(doc_col),
+            F.col("nb_toks").cast("long").alias("nb_toks"),
+            (F.col("prior_q") + F.col("__sw")).cast("long").alias("nb_logodds_q"),
+            ((F.col("prior_q") + F.col("__sw")) > 0).alias("nb_keep"),
         )
     )

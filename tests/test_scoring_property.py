@@ -153,3 +153,58 @@ def test_nb_logodds_property(docs):
             s = prior + sum(w[t] for t in toks)
             want[i] = (len(toks), s, s > 0)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=DOCS, foreign=DOCS)
+def test_nb_fit_score_foreign_corpus(docs, foreign):
+    """nb_fit + nb_score on a FOREIGN corpus: out-of-vocabulary tokens take
+    the model's smoothed OOV weight; exact integer parity with a direct
+    python model. Scoring the training corpus itself reproduces nb_logodds
+    exactly."""
+    from hypothesis import assume
+
+    from marmot_spark.operators.scoring import nb_fit, nb_logodds, nb_score
+
+    assume(any(toks for toks in docs))
+    spark = _SPARK["s"]
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    train = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    # shift half the foreign tokens out of the 0..9 training alphabet -> OOV
+    frows = [(100 + i, [t + (100 if t % 2 else 0) for t in toks])
+             for i, toks in enumerate(foreign)]
+    fdf = spark.createDataFrame(frows, "doc_id long, tokens array<int>")
+
+    weights, consts = nb_fit(train, F.col("doc_id") % 2 == 0)
+    got = {r["doc_id"]: (r["nb_toks"], r["nb_logodds_q"], r["nb_keep"])
+           for r in nb_score(fdf, weights, consts).collect()}
+
+    cp: dict = {}
+    cn: dict = {}
+    for i, toks in rows:
+        tgt = cp if i % 2 == 0 else cn
+        for t in toks:
+            tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(cp) | set(cn)
+    v = float(len(vocab))
+    n_pos, n_neg = sum(cp.values()), sum(cn.values())
+
+    def w_of(cpt, cnt):
+        return math.floor((math.log((cpt + 1.0) / (n_pos + v))
+                           - math.log((cnt + 1.0) / (n_neg + v))) * 1e6 + 0.5)
+
+    w = {t: w_of(cp.get(t, 0), cn.get(t, 0)) for t in vocab}
+    oov = w_of(0, 0)
+    d_pos = sum(1 for i, _ in rows if i % 2 == 0)
+    prior = math.floor(math.log((d_pos + 1.0) / (len(rows) - d_pos + 1.0)) * 1e6 + 0.5)
+    want = {}
+    for i, toks in frows:
+        if toks:
+            s = prior + sum(w.get(t, oov) for t in toks)
+            want[i] = (len(toks), s, s > 0)
+    assert got == want
+
+    # self-scoring identity with the one-pass operator
+    self_scored = sorted(map(tuple, nb_score(train, weights, consts).collect()))
+    one_pass = sorted(map(tuple, nb_logodds(train, F.col("doc_id") % 2 == 0).collect()))
+    assert self_scored == one_pass
