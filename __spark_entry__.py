@@ -1768,6 +1768,54 @@ FROM events
 """
 
 
+def _q_streaming_asof(spark, sf):
+    """Streaming point-in-time backfill, end to end
+    (streaming/stream.py::streaming_asof_backfill): the events table split
+    into TWO micro-batch files (maxFilesPerTrigger=1, mtime-ordered, split
+    by event_id parity) streamed through foreachBatch, each micro-batch
+    backfilled against the STATIC error-label table with the batch as-of
+    kernel and appended to a parquet sink under a streaming checkpoint.
+    Backward as-of has no cross-event state, so the drained sink must equal
+    the batch as-of join over the whole table — the j2 oracle, whatever the
+    batch boundaries."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    ev_pd = pd.read_parquet(f"{sf}/events.parquet")
+    d = _fresh_tmpdir("stream_asof_src", sf)
+    for i, (name, part) in enumerate(
+        [("a_even", ev_pd[ev_pd["event_id"] % 2 == 0]),
+         ("b_odd", ev_pd[ev_pd["event_id"] % 2 == 1])]
+    ):
+        p = os.path.join(d, f"{name}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    io_d = _fresh_tmpdir("stream_asof_io", sf)
+    out_p = os.path.join(io_d, "out")
+    ck_p = os.path.join(io_d, "ck")
+    for p in (out_p, ck_p):  # same-pid rerun: never append onto a stale sink
+        shutil.rmtree(p, ignore_errors=True)
+
+    from marmot_spark.streaming.stream import streaming_asof_backfill
+
+    src = (
+        spark.readStream.format("parquet").schema(_events(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1").load(d)
+    )
+    q = streaming_asof_backfill(
+        src, _errors(spark, sf), out_p, ck_p,
+        on="user_id", left_ts="ts", right_ts="err_ts",
+        payload=["err_value_c"], tie_break="err_event_id",
+    ).start()
+    q.awaitTermination()
+    return _no_ntz(spark, spark.read.parquet(out_p)).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("matched_ts").alias("err_ts_us"), "err_value_c",
+    )
+
+
 def _q_streaming_stateful_totals(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running (n_events, sum_value_c) in GroupState, update mode. The source is
@@ -2832,13 +2880,16 @@ FROM m JOIN f ON f.id = m.doc_id
 
 
 def _q_streaming_suite(spark, sf):
-    """All four Structured Streaming behaviors in one verified result,
+    """All five Structured Streaming behaviors in one verified result,
     normalized to (part, user_id, k1, k2, v1, v2) rows: session_window
     aggregation ('sess': k=start/end us, v=n/sum), watermark late-data drop
     ('late': same shape over the 3-batch replay), applyInPandasWithState
-    running totals ('totals': v=n/sum) and dropDuplicatesWithinWatermark
-    exact dedup ('dedup': k=event_id/ts_us, v=1/value_c). Each part drains
-    its own real streaming query; one green row certifies all four."""
+    running totals ('totals': v=n/sum), dropDuplicatesWithinWatermark
+    exact dedup ('dedup': k=event_id/ts_us, v=1/value_c), and the foreachBatch
+    point-in-time as-of backfill ('asof': k=event_id/ts_us,
+    v=err_ts_us/err_value_c — must equal the batch j2 join over the union of
+    micro-batches). Each part drains its own real streaming query; one green
+    row certifies all five."""
     sess = _q_streaming_sessionize(spark, sf).select(
         F.lit("sess").alias("part"), "user_id",
         F.col("start_us").alias("k1"), F.col("end_us").alias("k2"),
@@ -2862,7 +2913,15 @@ def _q_streaming_suite(spark, sf):
         F.col("event_id").cast("long").alias("k1"), F.col("ts_us").alias("k2"),
         F.lit(1).cast("long").alias("v1"), F.col("value_c").cast("long").alias("v2"),
     )
-    return sess.unionByName(late).unionByName(tot).unionByName(ded)
+    aso = _q_streaming_asof(spark, sf).select(
+        F.lit("asof").alias("part"), "user_id",
+        F.col("event_id").cast("long").alias("k1"), F.col("ts_us").alias("k2"),
+        F.col("err_ts_us").cast("long").alias("v1"),
+        F.col("err_value_c").cast("long").alias("v2"),
+    )
+    return (
+        sess.unionByName(late).unionByName(tot).unionByName(ded).unionByName(aso)
+    )
 
 
 def _sql_streaming_suite() -> str:
@@ -2880,6 +2939,10 @@ FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
 UNION ALL
 SELECT 'dedup', user_id, CAST(event_id AS BIGINT), ts_us, CAST(1 AS BIGINT), value_c
 FROM ({_SQL_STREAM_DEDUP})
+UNION ALL
+SELECT 'asof', user_id, CAST(event_id AS BIGINT), ts_us,
+  CAST(err_ts_us AS BIGINT), CAST(err_value_c AS BIGINT)
+FROM ({_SQL_J2})
 """
 
 

@@ -144,3 +144,54 @@ def streaming_dedup(
     if dict(events.dtypes)[ts] == "timestamp_ntz":
         events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_asof_backfill(
+    events: DataFrame,
+    labels: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload=("label",),
+    **asof_kwargs,
+):
+    """Streaming point-in-time backfill — the engine's flagship as-of join
+    deployed INCREMENTALLY: each micro-batch of the append-only event stream
+    is backfilled against the static label-history table with the batch
+    as-of kernel (operators/asof.py), via ``foreachBatch``.
+
+    Correct by construction: a backward as-of output row depends only on its
+    own left row and the (static) label history — there is no cross-event
+    state — so applying the batch kernel per micro-batch yields exactly the
+    batch join over the union of all micro-batches, whatever the batch
+    boundaries. The requirement is that ``labels`` stays FIXED for the run:
+    snapshot-pin it (sources/tables.TableIO reads a pinned snapshot) so a
+    restart replays identical batches against identical labels — with the
+    parquet sink + checkpoint this gives end-to-end exactly-once output.
+    Labels that arrive AFTER an event was processed are by design not
+    retro-filled (that is the batch backfill's job on the next snapshot);
+    the streaming path exists for fresh events, not history rewrites.
+
+    Returns the configured ``DataStreamWriter`` (parquet sink at
+    ``out_path``, checkpoint at ``checkpoint_path``, availableNow trigger) —
+    call ``.start()`` and await it. Per micro-batch the as-of kernel keeps
+    its batch plan shape (window strategy, optional salting kwargs pass
+    through); the label side re-broadcasts/re-shuffles per batch, so persist
+    ``labels`` when batches are frequent.
+    """
+    from marmot_spark.operators.asof import asof_join
+
+    def _do_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        out = asof_join(
+            batch_df, labels, on=on, left_ts=left_ts, right_ts=right_ts,
+            payload=list(payload), **asof_kwargs,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(_do_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

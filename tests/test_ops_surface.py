@@ -1019,3 +1019,65 @@ def test_grow_diag_final_matches_reference(spark):
            for r in symmetrize_alignments(df).collect()}
     for i, fwd, bwd, ns, nt in cases:
         assert out[i] == grow_diag_final(fwd, bwd, ns, nt), i
+
+
+def test_streaming_asof_backfill_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch as-of backfill drained over THREE micro-batches equals
+    the batch as-of join over the whole table exactly (backward as-of has no
+    cross-event state, so batching must not change the result)."""
+    import os
+
+    import pandas as pd
+
+    from marmot_spark.operators.asof import asof_join
+    from marmot_spark.streaming.stream import streaming_asof_backfill
+
+    ev_pd = pd.read_parquet(f"{sf_dir}/events.parquet")
+    src_dir = tmp_path / "asof_src"
+    src_dir.mkdir()
+    for i in range(3):
+        p = src_dir / f"b{i}.parquet"
+        ev_pd[ev_pd["event_id"] % 3 == i].to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labels = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_event_id"),
+        F.col("value").alias("err_value"),
+    )
+    src = (
+        spark.readStream.format("parquet").schema(events.schema)
+        .option("maxFilesPerTrigger", "1").load(str(src_dir))
+    )
+    q = streaming_asof_backfill(
+        src, labels, str(tmp_path / "out"), str(tmp_path / "ck"),
+        on="user_id", left_ts="ts", right_ts="err_ts",
+        payload=["err_value"], tie_break="err_event_id",
+    ).start()
+    q.awaitTermination()
+
+    cols = ["event_id", "user_id", "matched_ts", "err_value"]
+    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).select(*cols).collect()))
+    want = sorted(map(tuple, asof_join(
+        events, labels, on="user_id", left_ts="ts", right_ts="err_ts",
+        payload=["err_value"], tie_break="err_event_id",
+    ).select(*cols).collect()))
+    assert got == want and len(got) == events.count()
+
+
+def test_nb_model_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """An nb_fit model written to parquet and reloaded scores identically to
+    the in-plan model — the persist-once / score-many deployment path."""
+    from marmot_spark.operators.scoring import nb_fit, nb_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "tokens", F.transform(F.split("text", " "), lambda x: F.length(x).cast("int"))
+    )
+    weights, consts = nb_fit(docs, F.col("lang") == "en")
+    weights.write.parquet(str(tmp_path / "w"))
+    consts.write.parquet(str(tmp_path / "c"))
+    w2 = spark.read.parquet(str(tmp_path / "w"))
+    c2 = spark.read.parquet(str(tmp_path / "c"))
+    live = sorted(map(tuple, nb_score(docs, weights, consts).collect()))
+    reloaded = sorted(map(tuple, nb_score(docs, w2, c2).collect()))
+    assert live == reloaded and len(live) > 0
