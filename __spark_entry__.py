@@ -692,14 +692,57 @@ FROM docs_t
 
 
 def _q_a2_vocab_counts(spark, sf):
-    ex = explode_tokens(_docs(spark, sf), keep=["lang"])
-    return ex.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    """Exact vocabulary counts per (lang, tok) PLUS the count-min-sketch
+    view of the same frequencies (operators/sketch.py): cms_est is the
+    global 4x1024 CMS estimate of the token's corpus-wide count (>= truth,
+    bit-identical across engines — deterministic integer hashing), is_heavy
+    flags estimate >= total_tokens/500 — the sketch-prefilter decision a
+    bounded-state heavy-hitter pass takes before its exact verify."""
+    from marmot_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    docs = _docs(spark, sf)
+    ex = explode_tokens(docs, keep=["lang"])
+    base = ex.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    est = cms_estimate(count_min_sketch(docs, "tokens", d=4, w=1024), F.col("tok"), 4, 1024)
+    tot = F.broadcast(
+        docs.agg(F.sum(F.size("tokens")).alias("__t")).withColumn("__j", F.lit(0))
+    )
+    return (
+        base.withColumn("cms_est", est)
+        .withColumn("__j", F.lit(0))
+        .join(tot, "__j")
+        .select(
+            "lang", "tok", "cnt",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.floor(F.col("__t") / F.lit(500))).alias("is_heavy"),
+        )
+    )
 
 
-_SQL_A2 = f"""
-WITH {DOCS_T}, {DOCS_E}
-SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM docs_e GROUP BY lang, tok
+def _sql_a2() -> str:
+    from marmot_spark.operators.sketch import cms_bucket_sql
+
+    per_row = ",\n".join(
+        f"cms{j} AS (SELECT {cms_bucket_sql('tok', j, 1024)} AS b, count(*) AS c "
+        f"FROM docs_e GROUP BY 1)"
+        for j in range(4)
+    )
+    joins = " ".join(
+        f"JOIN cms{j} ON cms{j}.b = {cms_bucket_sql('t.tok', j, 1024)}" for j in range(4)
+    )
+    return f"""
+WITH {DOCS_T}, {DOCS_E},
+base AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM docs_e GROUP BY lang, tok),
+{per_row},
+est AS (SELECT t.tok, least(cms0.c, cms1.c, cms2.c, cms3.c) AS est
+        FROM (SELECT DISTINCT tok FROM docs_e) t {joins}),
+tot AS (SELECT sum(length(tokens)) AS t FROM docs_t)
+SELECT base.lang, base.tok, base.cnt, CAST(est.est AS BIGINT) AS cms_est,
+  est.est >= floor(tot.t / 500) AS is_heavy
+FROM base JOIN est ON est.tok = base.tok, tot
 """
+
+
 
 
 def _q_a3_label_distribution(spark, sf):
@@ -3192,7 +3235,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_external": _SQL_S5_SUITE,
         "j3_ngram_suite": _SQL_J3_SUITE,
         "a1_length_stats": _SQL_A1,
-        "a2_vocab_counts": _SQL_A2,
+        "a2_vocab_counts": _sql_a2(),
         "a3_label_distribution": _SQL_A3,
         "a5_rollup": _SQL_A5,
         "a7_quantiles": _SQL_A7,

@@ -208,3 +208,47 @@ def test_nb_fit_score_foreign_corpus(docs, foreign):
     self_scored = sorted(map(tuple, nb_score(train, weights, consts).collect()))
     one_pass = sorted(map(tuple, nb_logodds(train, F.col("doc_id") % 2 == 0).collect()))
     assert self_scored == one_pass
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=DOCS, min_count=st.integers(min_value=1, max_value=6))
+def test_count_min_sketch_property(docs, min_count):
+    """CMS vs a direct python model: bit-identical sketch counters and
+    estimates (deterministic hashing), est >= true count for every token,
+    and heavy_hitters returns EXACTLY the true >=min_count set with exact
+    counts."""
+    from marmot_spark.operators.sketch import (
+        _CMS_ADDS, _CMS_MULTS, P31, cms_estimate, count_min_sketch, heavy_hitters,
+    )
+
+    d, w = 3, 16  # small w so collisions actually happen
+    spark = _SPARK["s"]
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)], "doc_id long, tokens array<int>")
+
+    def bucket(t, j):
+        return ((t % P31 + P31) % P31 * _CMS_MULTS[j] + _CMS_ADDS[j]) % P31 % w
+
+    flat = {}
+    true = {}
+    for toks in docs:
+        for t in toks:
+            true[t] = true.get(t, 0) + 1
+            for j in range(d):
+                k = (j, bucket(t, j))
+                flat[k] = flat.get(k, 0) + 1
+
+    sk = count_min_sketch(df, "tokens", d=d, w=w)
+    got_sk = {(r["j"], r["b"]): r["cnt"] for r in sk.collect()}
+    assert got_sk == flat
+
+    est_of = {t: min(flat[(j, bucket(t, j))] for j in range(d)) for t in true}
+    assert all(est_of[t] >= c for t, c in true.items())
+    ex = df.select(F.explode("tokens").alias("tok")).distinct()
+    got_est = {r["tok"]: r["e"]
+               for r in ex.select("tok", cms_estimate(sk, F.col("tok"), d, w).alias("e")).collect()}
+    assert got_est == est_of
+
+    hh = {r["tok"]: (r["cnt"], r["est"])
+          for r in heavy_hitters(df, "tokens", min_count=min_count, d=d, w=w).collect()}
+    assert hh == {t: (c, est_of[t]) for t, c in true.items() if c >= min_count}
