@@ -857,21 +857,37 @@ SELECT lang, doc_id, n_chars, rn FROM (
 
 
 def _q_set_ops_vocab_overlap(spark, sf):
+    """Vocabulary set algebra (intersect/except) PLUS the HyperLogLog view of
+    the same cardinality (operators/sketch.py): en_n is the exact distinct
+    en-vocabulary count, hll_en the 2^10-register HLL estimate computed over
+    the raw (non-distinct) en token stream — deterministic integer registers
+    and an exact-BIGINT harmonic sum make it bit-identical across engines."""
+    from marmot_spark.operators.sketch import hll_estimate, hll_registers
+
     ex = explode_tokens(_docs(spark, sf), keep=["lang"])
     en = ex.filter(F.col("lang") == "en").select("tok").distinct()
     es = ex.filter(F.col("lang") == "es").select("tok").distinct()
     inter = en.intersect(es).agg(F.count(F.lit(1)).alias("inter_n"))
     diff = en.exceptAll(es.intersect(en)).agg(F.count(F.lit(1)).alias("diff_n"))
-    return inter.crossJoin(diff)
+    en_n = en.agg(F.count(F.lit(1)).alias("en_n"))
+    hll = hll_estimate(
+        hll_registers(ex.filter(F.col("lang") == "en"), F.col("tok"), p=10), p=10
+    ).select(F.col("hll_est").alias("hll_en"))
+    return inter.crossJoin(diff).crossJoin(F.broadcast(en_n)).crossJoin(F.broadcast(hll))
 
 
-_SQL_SETOPS = f"""
+def _sql_setops() -> str:
+    from marmot_spark.operators.sketch import hll_sql
+
+    return f"""
 WITH {DOCS_T}, {DOCS_E},
 en AS (SELECT DISTINCT tok FROM docs_e WHERE lang = 'en'),
 es AS (SELECT DISTINCT tok FROM docs_e WHERE lang = 'es')
 SELECT
   CAST((SELECT count(*) FROM (SELECT tok FROM en INTERSECT SELECT tok FROM es)) AS BIGINT) AS inter_n,
-  CAST((SELECT count(*) FROM (SELECT tok FROM en EXCEPT SELECT tok FROM es)) AS BIGINT) AS diff_n
+  CAST((SELECT count(*) FROM (SELECT tok FROM en EXCEPT SELECT tok FROM es)) AS BIGINT) AS diff_n,
+  CAST((SELECT count(*) FROM en) AS BIGINT) AS en_n,
+  ({hll_sql("(SELECT tok AS v FROM docs_e WHERE lang = 'en')", p=10)}) AS hll_en
 """
 
 
@@ -3241,7 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "a7_quantiles": _SQL_A7,
         "f8_binarize_onehot": _SQL_F8,
         "o2_topk_per_group": _SQL_O2,
-        "set_ops_vocab_overlap": _SQL_SETOPS,
+        "set_ops_vocab_overlap": _sql_setops(),
         "p3_filter_projection": _SQL_P3,
         "f6_json_extract": _SQL_F6,
         "tpch_q1": _SQL_TPCH_Q1,

@@ -24,6 +24,8 @@ intermediate non-negative on both engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,3 +125,130 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.lit(min_count))
         .select("tok", F.col("cnt").cast("long").alias("cnt"), F.col("est").cast("long").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — bounded-state distinct counting (Flajolet et al. 2007).
+# Same determinism discipline as the CMS: integer registers from fixed affine
+# hashes, and the harmonic denominator kept as an EXACT BIGINT sum of
+# 2^(32-rank) terms (associative — immune to float summation order), so the
+# registers and the final quantized estimate are bit-identical across
+# engines. The only float ops are single ln/division expressions over those
+# exact integers — the module's established identical-across-engines class.
+
+# Two multiply-mod-prime rounds with an xor-shift between them. A single
+# affine map mod P31 is equidistributed but has NO avalanche — on structured
+# inputs (sequential token ids) the leading-zero statistic deviates wildly
+# from geometric and the estimate biases by >2x (measured). The xor-shift
+# breaks the affine structure; accuracy on sequential ids is then within the
+# standard 1.04/sqrt(m) band (measured: +8% at p=8, +1.3% at p=10).
+_HLL_M1, _HLL_A1 = 1_000_003, 12_345       # bucket hash, round 1
+_HLL_M1B, _HLL_A1B = 999_983, 67_891       # bucket hash, round 2
+_HLL_M2, _HLL_A2 = 754_974_721, 104_729    # rank hash, round 1
+_HLL_M2B, _HLL_A2B = 998_244_353, 7_919    # rank hash, round 2
+_HLL_SHIFT = 15
+
+
+def _hll_mix(t: Column, ma: int, aa: int, mb: int, ab: int) -> Column:
+    """((t*ma+aa mod P) ^ (.. >> 15)) * mb + ab mod P — 31-bit mixed hash.
+    All intermediates < 2^62 (31-bit value x 31-bit multiplier), overflow-safe."""
+    u = F.pmod(t * F.lit(ma) + F.lit(aa), F.lit(P31))
+    v = u.bitwiseXOR(F.shiftright(u, _HLL_SHIFT))
+    return F.pmod(v * F.lit(mb) + F.lit(ab), F.lit(P31))
+
+
+def _hll_mix_sql(t: str, ma: int, aa: int, mb: int, ab: int) -> str:
+    u = f"(({t}) * {ma} + {aa}) % {P31}"
+    return f"(xor({u}, ({u}) >> {_HLL_SHIFT}) * {mb} + {ab}) % {P31}"
+
+
+def _hll_alpha(m: int) -> float:
+    # the standard bias constant; exact python double, inlined as a literal
+    # on BOTH engines so no cross-engine arithmetic is involved
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col, p: int = 10) -> DataFrame:
+    """The 2^p HLL registers over ``col``'s values: (b, r) with r = max over
+    values in bucket b of (leading zeros of the 31-bit rank hash) + 1.
+
+    One narrow projection + one groupBy(b) max — map-side combined to
+    <= 2^p groups per partition, so the exchange is KB-sized at any
+    cardinality. floor(ln(h)/ln(2)) stands in for the bit-length (no clz in
+    either SQL dialect); any power-of-two rounding quirk is IDENTICAL on
+    both engines, which is all determinism needs.
+    """
+    m = 1 << p
+    t = F.pmod(col.cast("long"), F.lit(P31))
+    h1 = _hll_mix(t, _HLL_M1, _HLL_A1, _HLL_M1B, _HLL_A1B)
+    h2 = _hll_mix(t, _HLL_M2, _HLL_A2, _HLL_M2B, _HLL_A2B)
+    rank = F.when(h2 == 0, F.lit(32)).otherwise(
+        F.lit(31) - F.floor(F.log(h2.cast("double")) / F.lit(math.log(2.0)))
+    )
+    return (
+        df.select((h1 % F.lit(m)).alias("b"), rank.cast("int").alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 10) -> DataFrame:
+    """1-row (hll_est BIGINT) from an ``hll_registers`` table: the standard
+    HLL estimator with the small-range linear-counting correction. The
+    harmonic denominator is the exact integer
+    ``(m - n_present) * 2^32 + sum(2^(32-r))`` (absent registers hold rank
+    0); every float op downstream is a single expression over exact
+    integers, then round-half-up to BIGINT.
+    """
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).alias("sp"),
+    )
+    s = (F.lit(m) - F.col("np")).cast("long") * F.lit(4294967296) + F.col("sp")
+    zeros = (F.lit(m) - F.col("np")).cast("long")
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(4294967296.0) / s.cast("double")
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(F.floor(est + F.lit(0.5)).cast("long").alias("hll_est"))
+
+
+def hll_sql(expr_from: str, p: int = 10) -> str:
+    """DuckDB mirror of hll_registers + hll_estimate over ``expr_from`` — a
+    SQL fragment ``(SELECT v FROM ...)`` producing the value column ``v``.
+    Returns a scalar subquery-able SELECT yielding hll_est."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    ln2 = repr(math.log(2.0))
+    # every float literal is CAST(... AS DOUBLE): DuckDB parses bare decimal
+    # literals as DECIMAL and the alpha*m*m*2^32 chain overflows DECIMAL(18)
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    return f"""
+SELECT CAST(floor(CASE
+    WHEN (({m} - np) > 0)
+         AND ({a} * {md} * {md} * CAST(4294967296.0 AS DOUBLE)
+              / CAST(({m} - np) * 4294967296 + sp AS DOUBLE)) <= CAST({2.5 * m!r} AS DOUBLE)
+    THEN {md} * ln({md} / CAST({m} - np AS DOUBLE))
+    ELSE {a} * {md} * {md} * CAST(4294967296.0 AS DOUBLE)
+         / CAST(({m} - np) * 4294967296 + sp AS DOUBLE)
+  END + 0.5) AS BIGINT) AS hll_est
+FROM (
+  SELECT count(*) AS np, sum(1::BIGINT << CAST(32 - r AS INT)) AS sp
+  FROM (
+    SELECT h1 % {m} AS b,
+      max(CASE WHEN h2 = 0 THEN 32
+               ELSE 31 - CAST(floor(ln(CAST(h2 AS DOUBLE)) / {ln2}) AS INT)
+          END) AS r
+    FROM (
+      SELECT {_hll_mix_sql('t', _HLL_M1, _HLL_A1, _HLL_M1B, _HLL_A1B)} AS h1,
+             {_hll_mix_sql('t', _HLL_M2, _HLL_A2, _HLL_M2B, _HLL_A2B)} AS h2
+      FROM (SELECT (CAST(v AS BIGINT) % {P31} + {P31}) % {P31} AS t FROM {expr_from})
+    )
+    GROUP BY 1
+  )
+)
+"""

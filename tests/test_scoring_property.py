@@ -252,3 +252,45 @@ def test_count_min_sketch_property(docs, min_count):
     hh = {r["tok"]: (r["cnt"], r["est"])
           for r in heavy_hitters(df, "tokens", min_count=min_count, d=d, w=w).collect()}
     assert hh == {t: (c, est_of[t]) for t, c in true.items() if c >= min_count}
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-10**12, max_value=10**12),
+                     min_size=1, max_size=400),
+       p=st.integers(min_value=4, max_value=8))
+def test_hll_property(vals, p):
+    """HLL registers and quantized estimate vs a direct python model: exact
+    integer equality for any int64 inputs (overflow-safe pmod domain), and
+    the small-range linear-counting branch."""
+    from marmot_spark.operators.sketch import (
+        P31, _HLL_A1, _HLL_A1B, _HLL_A2, _HLL_A2B, _HLL_M1, _HLL_M1B,
+        _HLL_M2, _HLL_M2B, _HLL_SHIFT, _hll_alpha, hll_estimate, hll_registers,
+    )
+
+    spark = _SPARK["s"]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    m = 1 << p
+    regs = {r["b"]: r["r"] for r in hll_registers(df, F.col("v"), p=p).collect()}
+    got = hll_estimate(hll_registers(df, F.col("v"), p=p), p=p).collect()[0]["hll_est"]
+
+    def mix(t, ma, aa, mb, ab):
+        u = (t * ma + aa) % P31
+        return ((u ^ (u >> _HLL_SHIFT)) * mb + ab) % P31
+
+    want_regs: dict = {}
+    for v in vals:
+        t = v % P31  # python % is non-negative for positive modulus == pmod
+        h1 = mix(t, _HLL_M1, _HLL_A1, _HLL_M1B, _HLL_A1B)
+        h2 = mix(t, _HLL_M2, _HLL_A2, _HLL_M2B, _HLL_A2B)
+        r = 32 if h2 == 0 else 31 - math.floor(math.log(float(h2)) / math.log(2.0))
+        b = h1 % m
+        want_regs[b] = max(want_regs.get(b, 0), r)
+    assert regs == want_regs
+
+    np_ = len(want_regs)
+    sp = sum(1 << (32 - r) for r in want_regs.values())
+    s = (m - np_) * 4294967296 + sp
+    raw = _hll_alpha(m) * float(m) * float(m) * 4294967296.0 / float(s)
+    zeros = m - np_
+    est = float(m) * math.log(float(m) / float(zeros)) if (zeros > 0 and raw <= 2.5 * m) else raw
+    assert got == math.floor(est + 0.5)
