@@ -3007,21 +3007,54 @@ FROM ({_SQL_J2})
 
 def _q_splits_suite(spark, sf):
     """Split assignment + mixture sampling in one per-doc result: the
-    deterministic content-hash train/val/test split and a kept flag for the
-    per-source mixture rates (both pure narrow projections)."""
+    deterministic content-hash train/val/test split, a kept flag for the
+    FIXED per-source mixture rates, and the DERIVED temperature-scaled
+    rates (functions/splits.py::temperature_rates, tau=0.7 — share ∝
+    n_lang^tau, the multilingual-BERT/XLM-R language-flattening recipe;
+    grouped by lang because the fixture's sources are exactly uniform,
+    which would make every rate the trivial 10000) with the per-doc keep
+    decision they induce."""
+    from marmot_spark.functions.splits import split_hash_col, temperature_rates
+
     s = _q_split_assign(spark, sf)
     m = _q_mixture_sample(spark, sf).select("doc_id", F.lit(1).alias("kept"))
-    return s.join(m, "doc_id", "left").select(
-        "doc_id", "source", "split", F.coalesce("kept", F.lit(0)).cast("int").alias("kept")
+    d = _tbl(spark, sf, "documents").select("doc_id", "lang")
+    tr = temperature_rates(d, "lang", tau=0.7)
+    taued = d.join(F.broadcast(tr), "lang").select(
+        "doc_id",
+        "rate_bps",
+        (split_hash_col("doc_id", seed=1) < F.col("rate_bps")).alias("kept_tau"),
+    )
+    return (
+        s.join(m, "doc_id", "left")
+        .join(taued, "doc_id")
+        .select(
+            "doc_id", "source", "split",
+            F.coalesce("kept", F.lit(0)).cast("int").alias("kept"),
+            "rate_bps", "kept_tau",
+        )
     )
 
 
 def _sql_splits_suite() -> str:
+    from marmot_spark.functions.splits import split_hash_sql
+
+    dt = repr(0.7 - 1.0)  # the exact double Spark uses for tau-1
+    h = split_hash_sql("s.doc_id", seed=1)
     return f"""
-WITH s AS ({_sql_split_assign()}), m AS ({_sql_mixture_sample()})
+WITH s AS ({_sql_split_assign()}), m AS ({_sql_mixture_sample()}),
+cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, exp(CAST({dt} AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS w FROM cnt),
+mx AS (SELECT max(w) AS mx FROM w),
+tr AS (SELECT w.lang,
+         CAST(floor(CAST(10000.0 AS DOUBLE) * w.w / mx.mx) AS BIGINT) AS rate_bps
+       FROM w, mx)
 SELECT s.doc_id, s.source, s.split,
-  CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS kept
+  CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS kept,
+  tr.rate_bps, {h} < tr.rate_bps AS kept_tau
 FROM s LEFT JOIN m ON m.doc_id = s.doc_id
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN tr ON tr.lang = d.lang
 """
 
 

@@ -42,6 +42,9 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "600000"))
 HEADLINE = [
     "w1_context_window", "j2_asof_backfill", "a4_rolling_count", "w6_sessionize",
     "w3_longest_ngram", "dedup_minhash_lsh", "ann_brute_force", "tpch_q1",
+    # r5 additions: the sketch paths (CMS heavy-hitter columns inside the
+    # vocab aggregate; HLL distinct inside the set-ops query)
+    "a2_vocab_counts", "set_ops_vocab_overlap",
 ]
 
 

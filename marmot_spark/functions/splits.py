@@ -125,3 +125,44 @@ def mixture_sample(
     for src, bps in rates_bps.items():
         rate = F.when(F.col(source_col) == src, F.lit(int(bps))).otherwise(rate)
     return df.filter(h < rate)
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    tau: float = 0.7,
+    scale_bps: int = BPS,
+) -> DataFrame:
+    """Derive per-source keep rates from corpus statistics — the standard
+    temperature-scaled mixture recipe (multilingual BERT/XLM-R sampling;
+    the source-reweighting step of public LLM data recipes): sampled share
+    p_s ∝ n_s^tau with tau < 1 flattening the source distribution toward
+    the tail. The one-pass realization is a keep RATE per source
+    ∝ n_s^(tau-1), max-normalized so the most-upweighted (smallest) source
+    keeps everything:
+
+        rate_bps(s) = floor(scale_bps * n_s^(tau-1) / max_s' n_s'^(tau-1))
+
+    Returns (source_col, rate_bps) — a sources-sized table; feed it to
+    ``mixture_sample``-style filtering (hash(id) < rate) for the
+    deterministic per-document decision. n^(tau-1) is exp((tau-1)·ln n):
+    single float expressions over exact integer counts, computed identically
+    by the SQL oracles (the module's established cross-engine class).
+
+    Plan: one groupBy(source) count (the only pass over the corpus;
+    map-side combined to the source cardinality), a 1-row max broadcast
+    crossJoined back. tau=1 degenerates to rate=scale_bps everywhere
+    (proportional sampling = keep all); tau=0 equalizes expected counts.
+    """
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    n = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.exp(F.lit(float(tau) - 1.0) * F.log(F.col("__n").cast("double")))
+    tbl = n.select(source_col, w.alias("__w"))
+    mx = tbl.agg(F.max("__w").alias("__mx"))
+    return tbl.crossJoin(F.broadcast(mx)).select(
+        source_col,
+        F.floor(F.lit(float(scale_bps)) * F.col("__w") / F.col("__mx"))
+        .cast("long")
+        .alias("rate_bps"),
+    )

@@ -1081,3 +1081,29 @@ def test_nb_model_persistence_roundtrip(spark, sf_dir, tmp_path):
     live = sorted(map(tuple, nb_score(docs, weights, consts).collect()))
     reloaded = sorted(map(tuple, nb_score(docs, w2, c2).collect()))
     assert live == reloaded and len(live) > 0
+
+
+def test_temperature_rates(spark):
+    """Temperature mixture rates vs a direct python model: exact integers;
+    tau=1 keeps everything (proportional), tau<1 upweights the smallest
+    source to rate 10000; invalid tau raises."""
+    import math
+
+    import pytest as _pytest
+
+    from marmot_spark.functions.splits import temperature_rates
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "tiny"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for tau in (0.0, 0.3, 0.7, 1.0):
+        got = {r["source"]: r["rate_bps"]
+               for r in temperature_rates(df, "source", tau=tau).collect()}
+        n = {"big": 900, "mid": 90, "tiny": 10}
+        w = {s: math.exp((tau - 1.0) * math.log(float(c))) for s, c in n.items()}
+        mx = max(w.values())
+        want = {s: math.floor(10000.0 * v / mx) for s, v in w.items()}
+        assert got == want, tau
+    assert got == {"big": 10000, "mid": 10000, "tiny": 10000}  # tau=1 last
+    with _pytest.raises(ValueError, match="tau"):
+        temperature_rates(df, "source", tau=1.5)
