@@ -2757,7 +2757,7 @@ def _q_text_curation(spark, sf):
     filter, positive class lang='en') trained and applied in the same DAG."""
     from marmot_spark.operators.lines import strip_boilerplate_lines
     from marmot_spark.operators.scoring import (
-        bigram_lm_loglik, importance_weights, nb_logodds, tf_idf,
+        bigram_lm_kn, bigram_lm_loglik, importance_weights, nb_logodds, tf_idf,
     )
 
     docs = _docs(spark, sf)
@@ -2786,6 +2786,11 @@ def _q_text_curation(spark, sf):
         docs.filter(F.col("doc_id") % 5 == 0),
         "doc_id", "tokens",
     )
+    kn = bigram_lm_kn(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id", "tokens",
+    ).select("doc_id", "kn_ll_q")
     iw = importance_weights(
         docs, F.col("lang") == "en", "doc_id", "tokens", k=2, n_buckets=1024
     )
@@ -2793,6 +2798,7 @@ def _q_text_curation(spark, sf):
     return (
         base.join(ta, "doc_id", "left")
         .join(lm, "doc_id", "left")
+        .join(kn, "doc_id", "left")
         .join(iw, "doc_id", "left")
         .join(bp, "doc_id", "left")
         .join(nb, "doc_id", "left")
@@ -2845,14 +2851,41 @@ nb AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nb_toks,
          CAST(pr.prior_q + sum(w.w) AS BIGINT) AS nb_logodds_q,
          (pr.prior_q + sum(w.w)) > 0 AS nb_keep
        FROM docs_e e JOIN nb_w w USING (tok), nb_pr pr
-       GROUP BY e.doc_id, pr.prior_q)
+       GROUP BY e.doc_id, pr.prior_q),
+kn_tr AS (SELECT * FROM docs_t WHERE doc_id % 5 <> 0),
+kn_sc AS (SELECT * FROM docs_t WHERE doc_id % 5 = 0),
+kn_bi AS (SELECT a, b, count(*) AS cab
+          FROM (SELECT tokens[CAST(u.i AS INT)+1] AS a, tokens[CAST(u.i AS INT)+2] AS b
+                FROM kn_tr, UNNEST(range(length(tokens)-1)) AS u(i))
+          GROUP BY a, b),
+kn_ctx AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM kn_bi GROUP BY a),
+kn_cont AS (SELECT b, count(*) AS n1b FROM kn_bi GROUP BY b),
+kn_tot AS (SELECT count(*) AS t FROM kn_bi),
+kn_v AS (SELECT count(DISTINCT tokens[CAST(u.p AS INT)+1]) AS v
+         FROM kn_tr, UNNEST(range(length(tokens))) AS u(p)),
+kn_terms AS (
+  SELECT s.doc_id, CAST(floor(ln(
+      CASE WHEN COALESCE(c.ca, 0) > 0
+        THEN greatest(CAST(COALESCE(b.cab, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c.ca AS DOUBLE)
+             + 0.75 * CAST(COALESCE(c.n1a, 0) AS DOUBLE) / CAST(c.ca AS DOUBLE)
+               * ((CAST(COALESCE(ct.n1b, 0) AS DOUBLE) + 1.0)
+                  / (CAST(t.t AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        ELSE (CAST(COALESCE(ct.n1b, 0) AS DOUBLE) + 1.0)
+             / (CAST(t.t AS DOUBLE) + CAST(v.v AS DOUBLE))
+      END) * 1000000.0 + 0.5) AS BIGINT) AS t2
+  FROM (SELECT kn_sc.doc_id, tokens[CAST(u.i AS INT)+1] AS a, tokens[CAST(u.i AS INT)+2] AS b
+        FROM kn_sc, UNNEST(range(length(tokens)-1)) AS u(i)) s
+  LEFT JOIN kn_bi b USING (a, b) LEFT JOIN kn_ctx c USING (a)
+  LEFT JOIN kn_cont ct USING (b), kn_tot t, kn_v v),
+kn AS (SELECT doc_id, CAST(sum(t2) AS BIGINT) AS kn_ll_q FROM kn_terms GROUP BY doc_id)
 SELECT d.doc_id, ta.n_terms, ta.tfidf_sum_q, ta.tfidf_max_q,
-  lm.n_bigrams, lm.ll_q, iw.n_feats, iw.w_q,
+  lm.n_bigrams, lm.ll_q, kn.kn_ll_q, iw.n_feats, iw.w_q,
   bp.n_lines, bp.n_lines_kept, bp.text_clean,
   nb.nb_toks, nb.nb_logodds_q, nb.nb_keep
 FROM documents d
 LEFT JOIN ta ON ta.doc_id = d.doc_id
 LEFT JOIN lm ON lm.doc_id = d.doc_id
+LEFT JOIN kn ON kn.doc_id = d.doc_id
 LEFT JOIN iw ON iw.doc_id = d.doc_id
 LEFT JOIN bp ON bp.doc_id = d.doc_id
 LEFT JOIN nb ON nb.doc_id = d.doc_id

@@ -181,6 +181,79 @@ def bigram_lm_loglik(
     )
 
 
+def bigram_lm_kn(
+    train: DataFrame,
+    score: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    discount: float = 0.75,
+    quant: int = 1_000_000,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM — the smoothing real KenLM-class
+    fluency filters use (Kneser & Ney 1995; Chen & Goodman 1999), upgrading
+    ``bigram_lm_loglik``'s add-one baseline. Per adjacent pair (a, b):
+
+        P(b|a) = max(C(a,b) - D, 0)/C(a) + D * N1+(a,*)/C(a) * Pcont(b)
+        Pcont(b) = (N1+(*,b) + 1) / (N1+(*,*) + V)
+
+    with C = train bigram counts, N1+(a,*) = distinct continuations of a,
+    N1+(*,b) = distinct contexts of b (the "novel-context" count that makes
+    KN work), N1+(*,*) = distinct bigram types, V = unigram type count. The
+    +1/+V on the continuation distribution is the standard practical patch
+    giving unseen unigrams nonzero mass (pure KN assigns them zero and the
+    log-likelihood would be -inf). Unseen contexts (C(a)=0) back off to
+    Pcont(b) alone.
+
+    Every count is an integer aggregate; the per-term float math is a fixed
+    chain of IEEE ops over identical integers on both engines, then the term
+    quantizes to 1/``quant`` units BEFORE the per-doc BIGINT sum (the
+    module's numeric contract). Returns (doc_col, n_bigrams, kn_ll_q).
+
+    Plan: the same shape as the add-one scorer — one pair-count table
+    (shuffle-hash joined back at web scale), two vocab-sized marginals
+    (``_maybe_broadcast``), two 1-row broadcasts (bigram-type total, V).
+    """
+    bi = (
+        _pairs(train, doc_col, tokens_col)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    ctx = bi.groupBy("a").agg(
+        F.sum("cab").alias("ca"), F.count(F.lit(1)).alias("n1a")
+    )
+    cont = bi.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    tot = bi.agg(F.count(F.lit(1)).alias("__t"))
+    v = train.select(F.explode(tokens_col).alias("t")).agg(
+        F.count_distinct("t").alias("__v")
+    )
+    sp = (
+        _pairs(score, doc_col, tokens_col)
+        .join(bi, ["a", "b"], "left")
+        .join(_maybe_broadcast(ctx, broadcast_max_rows), ["a"], "left")
+        .join(_maybe_broadcast(cont, broadcast_max_rows), ["b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+    )
+    d = F.lit(float(discount))
+    cab = F.coalesce(F.col("cab"), F.lit(0)).cast("double")
+    ca = F.coalesce(F.col("ca"), F.lit(0)).cast("double")
+    n1a = F.coalesce(F.col("n1a"), F.lit(0)).cast("double")
+    pcont = (F.coalesce(F.col("n1b"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("__t").cast("double") + F.col("__v").cast("double")
+    )
+    p = F.when(
+        ca > 0,
+        F.greatest(cab - d, F.lit(0.0)) / ca + d * n1a / ca * pcont,
+    ).otherwise(pcont)
+    return (
+        sp.select(F.col("__doc"), _quant(F.log(p), quant).alias("__t2"))
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("__t2").alias("kn_ll_q"))
+        .select(F.col("__doc").alias(doc_col), "n_bigrams", "kn_ll_q")
+    )
+
+
 def shingle_bucket_col(tokens_col: str, k: int, n_buckets: int):
     """Hashed k-gram feature ids: the shingle fold
     ``acc = (acc * SH_MULT + tok + 1) mod SH_MOD`` over k consecutive tokens,

@@ -294,3 +294,54 @@ def test_hll_property(vals, p):
     zeros = m - np_
     est = float(m) * math.log(float(m) / float(zeros)) if (zeros > 0 and raw <= 2.5 * m) else raw
     assert got == math.floor(est + 0.5)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=DOCS, mod=st.integers(min_value=2, max_value=4))
+def test_bigram_lm_kn_property(docs, mod):
+    """Interpolated Kneser-Ney bigram LM vs a direct python model: exact
+    integer equality of the quantized per-doc log-likelihoods, including
+    unseen pairs/contexts/unigrams (the backoff and +1/+V continuation
+    patch) — the same float-op order as the operator."""
+    from hypothesis import assume
+
+    from marmot_spark.operators.scoring import bigram_lm_kn
+
+    assume(any(toks for i, toks in enumerate(docs) if i % mod != 0))
+    spark = _SPARK["s"]
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    train = df.filter(F.col("doc_id") % mod != 0)
+    score = df.filter(F.col("doc_id") % mod == 0)
+    got = {r["doc_id"]: (r["n_bigrams"], r["kn_ll_q"])
+           for r in bigram_lm_kn(train, score).collect()}
+
+    tr = [toks for i, toks in rows if i % mod != 0]
+    bi: dict = {}
+    for toks in tr:
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    ca: dict = {}
+    n1a: dict = {}
+    n1b: dict = {}
+    for (a, b), c in bi.items():
+        ca[a] = ca.get(a, 0) + c
+        n1a[a] = n1a.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    t = len(bi)
+    vocab = len({x for toks in tr for x in toks})
+    D = 0.75
+    want = {}
+    for i, toks in rows:
+        if i % mod == 0 and len(toks) >= 2:
+            terms = []
+            for a, b in zip(toks, toks[1:]):
+                pcont = (float(n1b.get(b, 0)) + 1.0) / (float(t) + float(vocab))
+                if ca.get(a, 0) > 0:
+                    p = (max(float(bi.get((a, b), 0)) - D, 0.0) / float(ca[a])
+                         + D * float(n1a.get(a, 0)) / float(ca[a]) * pcont)
+                else:
+                    p = pcont
+                terms.append(math.floor(math.log(p) * 1e6 + 0.5))
+            want[i] = (len(terms), sum(terms))
+    assert got == want
