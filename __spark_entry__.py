@@ -266,23 +266,49 @@ FROM docs_e
 
 
 def _q_w4_lag_lead(spark, sf):
+    """W4 + the leakage-safe encoders (operators/encoders.py) in ONE fused
+    per-entity window pass: lag/lead, strictly-past expanding target
+    encoding (te_cnt/te_sum/te_smooth_q — empirical-Bayes smoothed, integer
+    exact), and the dyadic decay sum over the last 8 prior values
+    (decay8_q — power-of-two weights, BIGINT exact). All on the same
+    (user_id, ts, event_id) spec, so Catalyst plans a single Exchange +
+    WindowExec (pinned by tests/test_encoders.py)."""
+    from marmot_spark.operators.encoders import decay_features, target_encode_past
+
     ev = _events(spark, sf).withColumn("value_c", _cents("value"))
+    ev = target_encode_past(ev, "user_id", "ts", "value_c", order_extra=["event_id"])
+    ev = decay_features(
+        ev, "user_id", "ts", "value_c", k=8, order_extra=["event_id"], out_col="decay8_q"
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return ev.select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
         F.lag("event_type", 1).over(w).alias("prev_type"),
         F.lead("event_type", 1).over(w).alias("next_type"),
         F.lag("value_c", 1).over(w).alias("prev_value_c"),
+        "te_cnt", "te_sum", "te_smooth_q", "decay8_q",
     )
 
 
+_W4_DECAY_SQL = " + ".join(
+    f"COALESCE(lag(vc, {j}) OVER w, 0) * {1 << (8 - j)}" for j in range(1, 9)
+)
 _SQL_W4 = f"""
+WITH ev AS (SELECT *, {_CENTS_SQL.format(c='value')} AS vc FROM events),
+pr AS (SELECT (CAST(sum(vc) AS BIGINT) * 1000000) // greatest(count(vc), 1) AS prior_q FROM ev)
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
   lag(event_type) OVER w AS prev_type,
   lead(event_type) OVER w AS next_type,
-  lag({_CENTS_SQL.format(c='value')}) OVER w AS prev_value_c
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  lag(vc) OVER w AS prev_value_c,
+  count(vc) OVER wp AS te_cnt,
+  CAST(COALESCE(sum(vc) OVER wp, 0) AS BIGINT) AS te_sum,
+  CAST((CAST(COALESCE(sum(vc) OVER wp, 0) AS BIGINT) * 1000000 + 10 * pr.prior_q)
+    // (count(vc) OVER wp + 10) AS BIGINT) AS te_smooth_q,
+  CAST({_W4_DECAY_SQL} AS BIGINT) AS decay8_q
+FROM ev, pr
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+  wp AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """
 
 
@@ -421,6 +447,55 @@ SELECT b.event_id, b.user_id, b.ts_us,
             OR b.ts_us - b.err_ts_us <= f.err_ts_us - f.ts_us)
        THEN b.err_value_c ELSE f.err_value_c END AS err_value_c
 FROM b JOIN f ON b.event_id = f.event_id
+"""
+
+
+def _q_j2_asof_chain(spark, sf):
+    """J2 feature-store form: ONE event spine, TWO feature tables, each
+    joined point-in-time independently (operators/encoders.py::asof_chain —
+    errors and purchases as separate as-of sources, per-table match
+    instants preserved via ts_out renames). The chain's error leg must agree
+    with the single-table backward kernel; the purchase leg certifies that a
+    second table composes with no payload/ts collision. Oracle: two chained
+    DuckDB ASOF LEFT JOINs."""
+    from marmot_spark.operators.encoders import asof_chain
+
+    ev = _events(spark, sf)
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_event_id"),
+        _cents("value").alias("buy_value_c"),
+    )
+    out = asof_chain(
+        ev, "ts",
+        [
+            {"right": _errors(spark, sf), "on": "user_id", "right_ts": "err_ts",
+             "payload": ["err_value_c"], "tie_break": "err_event_id", "ts_out": "err_mts"},
+            {"right": buys, "on": "user_id", "right_ts": "buy_ts",
+             "payload": ["buy_value_c"], "tie_break": "buy_event_id", "ts_out": "buy_mts"},
+        ],
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros("err_mts").alias("err_ts_us"),
+        F.col("err_value_c"),
+        F.unix_micros("buy_mts").alias("buy_ts_us"),
+        F.col("buy_value_c"),
+    )
+
+
+_SQL_J2_CHAIN = f"""
+SELECT e.event_id,
+  epoch_us(l.err_ts) AS err_ts_us, l.err_value_c,
+  epoch_us(b.buy_ts) AS buy_ts_us, b.buy_value_c
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS err_ts, {_CENTS_SQL.format(c='value')} AS err_value_c
+  FROM events WHERE event_type = 'error'
+) l ON e.user_id = l.user_id AND e.ts >= l.err_ts
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS buy_ts, {_CENTS_SQL.format(c='value')} AS buy_value_c
+  FROM events WHERE event_type = 'purchase'
+) b ON e.user_id = b.user_id AND e.ts >= b.buy_ts
 """
 
 
@@ -2550,10 +2625,12 @@ FROM m
 
 
 def _q_j2_asof_suite(spark, sf):
-    """J2 — all five as-of variants in one verified result: backward (window
+    """J2 — all six as-of variants in one verified result: backward (window
     strategy), backward (explicit Arrow merge kernel), 10-min tolerance,
-    forward, and nearest, each as its own (ts, value) column pair joined on
-    event_id. One green row = the full as-of API surface."""
+    forward, nearest, and the CHAINED multi-table feature-store form
+    (errors + purchases point-in-time on one spine), each as its own
+    (ts, value) column set joined on event_id. One green row = the full
+    as-of API surface."""
     variants = {
         "back": _q_j2_asof_backfill, "merge": _q_j2_asof_merge,
         "tol": _q_j2_asof_tolerance, "fwd": _q_j2_asof_forward,
@@ -2568,21 +2645,32 @@ def _q_j2_asof_suite(spark, sf):
             F.col("err_value_c").alias(f"{tag}_value_c"),
         )
         out = v if out is None else out.join(v, "event_id")
-    return out
+    ch = _q_j2_asof_chain(spark, sf).select(
+        "event_id",
+        F.col("err_ts_us").alias("chain_err_ts_us"),
+        F.col("err_value_c").alias("chain_err_value_c"),
+        F.col("buy_ts_us").alias("chain_buy_ts_us"),
+        F.col("buy_value_c").alias("chain_buy_value_c"),
+    )
+    return out.join(ch, "event_id")
 
 
 _SQL_J2_SUITE = f"""
-WITH b AS ({_SQL_J2}), t AS ({_SQL_J2_TOL}), f AS ({_SQL_J2_FWD}), n AS ({_SQL_J2_NEAREST})
+WITH b AS ({_SQL_J2}), t AS ({_SQL_J2_TOL}), f AS ({_SQL_J2_FWD}), n AS ({_SQL_J2_NEAREST}),
+ch AS ({_SQL_J2_CHAIN})
 SELECT b.event_id, b.user_id, b.ts_us,
   b.err_ts_us AS back_ts_us, b.err_value_c AS back_value_c,
   b.err_ts_us AS merge_ts_us, b.err_value_c AS merge_value_c,
   t.err_ts_us AS tol_ts_us, t.err_value_c AS tol_value_c,
   f.err_ts_us AS fwd_ts_us, f.err_value_c AS fwd_value_c,
-  n.err_ts_us AS near_ts_us, n.err_value_c AS near_value_c
+  n.err_ts_us AS near_ts_us, n.err_value_c AS near_value_c,
+  ch.err_ts_us AS chain_err_ts_us, ch.err_value_c AS chain_err_value_c,
+  ch.buy_ts_us AS chain_buy_ts_us, ch.buy_value_c AS chain_buy_value_c
 FROM b
 JOIN t ON t.event_id = b.event_id
 JOIN f ON f.event_id = b.event_id
 JOIN n ON n.event_id = b.event_id
+JOIN ch ON ch.event_id = b.event_id
 """
 
 
@@ -3046,8 +3134,16 @@ def _q_splits_suite(spark, sf):
     n_lang^tau, the multilingual-BERT/XLM-R language-flattening recipe;
     grouped by lang because the fixture's sources are exactly uniform,
     which would make every rate the trivial 10000) with the per-doc keep
-    decision they induce."""
+    decision they induce. Round-5 additions (operators/encoders.py): the
+    EMBARGOED temporal split over the derived ingest timestamp (split_time
+    — train strictly before the gap, test strictly after it, rows inside
+    excluded from both: the purged split a lookback-feature pipeline needs
+    for zero leakage) and the deterministic per-source cap keep flag
+    (cap_keep, k=15 per source — 15 of each 25-doc source survive, so both
+    branches are exercised — portable-hash rank so the DuckDB oracle
+    mirrors the survivor election exactly)."""
     from marmot_spark.functions.splits import split_hash_col, temperature_rates
+    from marmot_spark.operators.encoders import cap_per_group, temporal_split_embargo
 
     s = _q_split_assign(spark, sf)
     m = _q_mixture_sample(spark, sf).select("doc_id", F.lit(1).alias("kept"))
@@ -3058,13 +3154,26 @@ def _q_splits_suite(spark, sf):
         "rate_bps",
         (split_hash_col("doc_id", seed=1) < F.col("rate_bps")).alias("kept_tau"),
     )
+    emb = temporal_split_embargo(
+        _tbl(spark, sf, "documents").select(
+            "doc_id",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 600).alias("seq_ts"),
+        ),
+        "seq_ts", "2024-01-01 03:00:00", "2024-01-01 06:00:00",
+    ).select("doc_id", "split_time")
+    cap = cap_per_group(
+        _tbl(spark, sf, "documents").select("doc_id", "source"),
+        "source", 15, "doc_id", seed=5, hash_mode="portable",
+    ).select("doc_id", "cap_keep")
     return (
         s.join(m, "doc_id", "left")
         .join(taued, "doc_id")
+        .join(emb, "doc_id")
+        .join(cap, "doc_id")
         .select(
             "doc_id", "source", "split",
             F.coalesce("kept", F.lit(0)).cast("int").alias("kept"),
-            "rate_bps", "kept_tau",
+            "rate_bps", "kept_tau", "split_time", "cap_keep",
         )
     )
 
@@ -3074,6 +3183,7 @@ def _sql_splits_suite() -> str:
 
     dt = repr(0.7 - 1.0)  # the exact double Spark uses for tau-1
     h = split_hash_sql("s.doc_id", seed=1)
+    hcap = split_hash_sql("doc_id", seed=5)
     return f"""
 WITH s AS ({_sql_split_assign()}), m AS ({_sql_mixture_sample()}),
 cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
@@ -3081,13 +3191,26 @@ w AS (SELECT lang, exp(CAST({dt} AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS w FROM c
 mx AS (SELECT max(w) AS mx FROM w),
 tr AS (SELECT w.lang,
          CAST(floor(CAST(10000.0 AS DOUBLE) * w.w / mx.mx) AS BIGINT) AS rate_bps
-       FROM w, mx)
+       FROM w, mx),
+emb AS (SELECT doc_id,
+          CASE WHEN make_timestamp((1704067200 + doc_id*600) * 1000000)
+                    < TIMESTAMP '2024-01-01 03:00:00' THEN 'train'
+               WHEN make_timestamp((1704067200 + doc_id*600) * 1000000)
+                    >= TIMESTAMP '2024-01-01 06:00:00' THEN 'test'
+               ELSE 'embargo' END AS split_time
+        FROM documents),
+cap AS (SELECT doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY {hcap}, doc_id) <= 15 AS cap_keep
+        FROM documents)
 SELECT s.doc_id, s.source, s.split,
   CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS kept,
-  tr.rate_bps, {h} < tr.rate_bps AS kept_tau
+  tr.rate_bps, {h} < tr.rate_bps AS kept_tau,
+  emb.split_time, cap.cap_keep
 FROM s LEFT JOIN m ON m.doc_id = s.doc_id
 JOIN documents d ON d.doc_id = s.doc_id
 JOIN tr ON tr.lang = d.lang
+JOIN emb ON emb.doc_id = s.doc_id
+JOIN cap ON cap.doc_id = s.doc_id
 """
 
 
