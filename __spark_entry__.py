@@ -1209,6 +1209,69 @@ SELECT id_a, id_b, jaccard_ppm FROM (
 """
 
 
+def _q_dedup_incremental(spark, sf):
+    """Incremental snapshot dedup (operators/dedup.py::incremental_dedup_pairs)
+    — a synthesized NEW batch (every 7th doc re-ingested under a shifted id;
+    every 14th additionally loses its last word, making it a near- rather
+    than exact dup) probed against the full corpus. Exact path = md5 join;
+    near path = batch LSH bands joining corpus bands, Jaccard-verified. The
+    corpus is never self-paired — the rolling-ingestion shape."""
+    from marmot_spark.operators.dedup import incremental_dedup_pairs
+
+    corpus = _docs(spark, sf).select("doc_id", "text", "tokens")
+    batch = (
+        _tbl(spark, sf, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 14 == 0, F.regexp_replace("text", " [^ ]*$", "")
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .withColumn("tokens", F.transform(F.split("text", " "), _tok_id))
+    )
+    return incremental_dedup_pairs(
+        batch, corpus, "doc_id", "text", "tokens", jaccard_threshold_ppm=300_000
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    mh = ", ".join(f"{_mh_sql(k)} AS mh_{k}" for k in range(8))
+    band_cases = " ".join(
+        f"WHEN {b} THEN (mh_{2*b} % {P31} * 1000003 + mh_{2*b+1}) % {P31}" for b in range(4)
+    )
+    return f"""
+WITH b0 AS (SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 14 = 0 THEN regexp_replace(text, ' [^ ]*$', '') ELSE text END AS text
+       FROM documents WHERE doc_id % 7 = 0),
+bt AS (SELECT doc_id, text, {{tok}} AS tokens FROM b0),
+ct AS (SELECT doc_id, text, {{tok}} AS tokens FROM documents),
+ex AS (SELECT b.doc_id AS id_a, c.doc_id AS id_b, CAST(1000000 AS BIGINT) AS jaccard_ppm
+       FROM bt b JOIN ct c ON md5(b.text) = md5(c.text)),
+sb AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM bt WHERE length(tokens) >= 3),
+sc AS (SELECT doc_id AS id, list_distinct({_SH3}) AS sh FROM ct WHERE length(tokens) >= 3),
+sb2 AS (SELECT id, sh, {mh} FROM sb WHERE length(sh) > 0),
+sc2 AS (SELECT id, sh, {mh} FROM sc WHERE length(sh) > 0),
+bb AS (SELECT id, b.band, CASE b.band {band_cases} END AS bh
+       FROM sb2, UNNEST([0,1,2,3]) AS b(band)),
+cb AS (SELECT id, b.band, CASE b.band {band_cases} END AS bh
+       FROM sc2, UNNEST([0,1,2,3]) AS b(band)),
+bbf AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM bb) WHERE bsz <= 1000),
+cbf AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM cb) WHERE bsz <= 1000),
+cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         FROM bbf a JOIN cbf c ON a.band = c.band AND a.bh = c.bh),
+near AS (SELECT id_a, id_b, jaccard_ppm FROM (
+  SELECT cand.id_a, cand.id_b,
+    CAST(floor(len(list_intersect(sa.sh, sc_.sh)) * 1000000.0 /
+               len(list_distinct(list_concat(sa.sh, sc_.sh)))) AS BIGINT) AS jaccard_ppm
+  FROM cand JOIN sb sa ON sa.id = cand.id_a JOIN sc sc_ ON sc_.id = cand.id_b
+) WHERE jaccard_ppm >= 300000)
+SELECT id_a, id_b, CAST(max(jaccard_ppm) AS BIGINT) AS jaccard_ppm
+FROM (SELECT * FROM ex UNION ALL SELECT * FROM near)
+GROUP BY id_a, id_b
+""".replace("{tok}", TOK_SQL)
+
+
 def _q_dedup_clusters(spark, sf):
     """Duplicate CLUSTERS: minhash-LSH near-dup pairs collapsed into
     transitive components (operators/graph.py::connected_components —
@@ -2981,11 +3044,12 @@ LEFT JOIN nb ON nb.doc_id = d.doc_id
 
 
 def _q_dedup_pairs_suite(spark, sf):
-    """All four near-duplicate PAIR finders in one verified result, tagged by
+    """All five near-duplicate PAIR finders in one verified result, tagged by
     method: MinHash-LSH (score = jaccard_ppm), 16-bit SimHash Hamming
-    (score = hamming distance), blocked n-gram Jaccard (score = jaccard_ppm)
-    and LSH-bucketed embedding cosine (score = cos_ppm). Every path is
-    bucket-bounded — no all-pairs join anywhere."""
+    (score = hamming distance), blocked n-gram Jaccard (score = jaccard_ppm),
+    LSH-bucketed embedding cosine (score = cos_ppm), and the INCREMENTAL
+    batch-vs-corpus probe (score = jaccard_ppm, exact hits at 1,000,000).
+    Every path is bucket-bounded — no all-pairs join anywhere."""
     mh = _q_dedup_minhash_lsh(spark, sf).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("jaccard_ppm").cast("long").alias("score"),
@@ -3004,7 +3068,11 @@ def _q_dedup_pairs_suite(spark, sf):
         F.lit("cosine").alias("method"), "id_a", "id_b",
         F.col("cos_ppm").cast("long").alias("score"),
     )
-    return mh.unionByName(sh).unionByName(ng).unionByName(ec)
+    inc = _q_dedup_incremental(spark, sf).select(
+        F.lit("incr").alias("method"), "id_a", "id_b",
+        F.col("jaccard_ppm").cast("long").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(ng).unionByName(ec).unionByName(inc)
 
 
 def _sql_dedup_pairs_suite() -> str:
@@ -3016,6 +3084,8 @@ UNION ALL
 SELECT 'jaccard', id_a, id_b, jaccard_ppm FROM ({_SQL_JACCARD})
 UNION ALL
 SELECT 'cosine', id_a, id_b, cos_ppm FROM ({_sql_dedup_embedding_cosine()})
+UNION ALL
+SELECT 'incr', id_a, id_b, jaccard_ppm FROM ({_sql_dedup_incremental()})
 """
 
 

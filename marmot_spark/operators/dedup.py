@@ -87,6 +87,35 @@ def jaccard_ppm(a: Column, b: Column) -> Column:
     return F.when(union > 0, F.floor(inter.cast("long") * 1_000_000 / union)).otherwise(F.lit(0)).cast("long")
 
 
+def _sig_frame(
+    df: DataFrame, id_col: str, tokens_col: str, k_shingle: int, n_hashes: int
+) -> DataFrame:
+    """(id, sh, mh_0..mh_{n-1}) per row.
+
+    One evaluation of the (interpreted, HOF-based) shingle fold: explode the
+    shingles, then a SINGLE codegen'd aggregation rebuilds the distinct
+    shingle set AND computes all minhashes. Projection collapse would
+    otherwise inline the fold into every consumer (n_hashes+2 evaluations).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_hashes_col(tokens_col, k_shingle)).alias("s")
+    )
+    return ex.groupBy("id").agg(
+        F.collect_set("s").alias("sh"),
+        *[F.min(_hash_k(F.col("s"), k)).alias(f"mh_{k}") for k in range(n_hashes)],
+    )
+
+
+def _band_frame(sig: DataFrame, n_hashes: int, rows_per_band: int, n_bands: int) -> DataFrame:
+    """Explode a signature frame into (id, band, bh) bucket keys."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_hash_col(n_hashes, rows_per_band, b).alias("bh")) for b in range(n_bands)])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -103,26 +132,9 @@ def minhash_lsh_pairs(
     → dedupe candidate pairs → verify exact Jaccard on the shingle sets.
     """
     n_bands = n_hashes // rows_per_band
-    # One evaluation of the (interpreted, HOF-based) shingle fold: explode the
-    # shingles, then a SINGLE codegen'd aggregation rebuilds the distinct
-    # shingle set AND computes all minhashes. Projection collapse would
-    # otherwise inline the fold into every consumer (n_hashes+2 evaluations).
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_hashes_col(tokens_col, k_shingle)).alias("s")
-    )
-    sig = ex.groupBy("id").agg(
-        F.collect_set("s").alias("sh"),
-        *[F.min(_hash_k(F.col("s"), k)).alias(f"mh_{k}") for k in range(n_hashes)],
-    )
+    sig = _sig_frame(df, id_col, tokens_col, k_shingle, n_hashes)
     sh_df = sig.select("id", "sh")
-    mh = sig
-
-    bands = mh.select(
-        "id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_hash_col(n_hashes, rows_per_band, b).alias("bh")) for b in range(n_bands)])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    bands = _band_frame(sig, n_hashes, rows_per_band, n_bands)
 
     # guardrail: drop degenerate hot buckets before the self-join explodes
     wcnt = Window.partitionBy("band", "bh")
@@ -145,6 +157,80 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard_ppm", jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_ppm") >= jaccard_threshold_ppm)
         .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+def incremental_dedup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold_ppm: int = 500_000,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Dedup a NEW snapshot against an EXISTING corpus: (id_a, id_b,
+    jaccard_ppm) where id_a is a batch doc and id_b its corpus match.
+
+    The production shape for rolling ingestion (daily crawl vs historical
+    index): the corpus is never re-paired against itself — it contributes
+    only content hashes and LSH band buckets, both of which a real
+    deployment precomputes once and keeps as columnar state, so the
+    per-snapshot cost is O(batch) probes + the candidate verifies, not
+    O(corpus²) or even O(corpus) re-shingling per run.
+
+    Two probe paths, unioned with the max score kept per pair:
+
+    * exact — md5(text) equality (jaccard_ppm = 1,000,000 by definition);
+      a plain shuffle-hash join on the 16-byte digest.
+    * near  — batch band buckets join corpus band buckets on (band, bh);
+      hot buckets capped per side at ``max_bucket`` (probing a degenerate
+      corpus bucket is the skew risk here, same guardrail as the
+      within-corpus finder); candidates verified with exact Jaccard on the
+      shingle sets, kept at/above the threshold.
+    """
+    n_bands = n_hashes // rows_per_band
+    exact = (
+        batch.select(F.col(id_col).alias("id_a"), F.md5(F.col(text_col)).alias("__h"))
+        .join(
+            corpus.select(F.col(id_col).alias("id_b"), F.md5(F.col(text_col)).alias("__h")),
+            "__h",
+        )
+        .select("id_a", "id_b", F.lit(1_000_000).cast("long").alias("jaccard_ppm"))
+    )
+
+    sig_b = _sig_frame(batch, id_col, tokens_col, k_shingle, n_hashes)
+    sig_c = _sig_frame(corpus, id_col, tokens_col, k_shingle, n_hashes)
+
+    def _capped_bands(sig: DataFrame) -> DataFrame:
+        bands = _band_frame(sig, n_hashes, rows_per_band, n_bands)
+        w = Window.partitionBy("band", "bh")
+        return (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+
+    cand = (
+        _capped_bands(sig_b).select(F.col("id").alias("id_a"), "band", "bh")
+        .join(_capped_bands(sig_c).select(F.col("id").alias("id_b"), "band", "bh"), ["band", "bh"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(sig_b.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sig_c.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    near = (
+        cand.withColumn("jaccard_ppm", jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_ppm") >= jaccard_threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+    return (
+        exact.unionByName(near)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("jaccard_ppm").alias("jaccard_ppm"))
     )
 
 

@@ -595,3 +595,42 @@ def test_keep_best_survivor_election(spark):
            for r in keep_best(comps, scores).collect()}
     assert got == {1: (1, 2, False), 2: (1, 2, True), 3: (1, 2, False),
                    10: (10, 11, False), 11: (10, 11, True), 20: (20, 20, True)}
+
+
+def test_incremental_dedup_pairs(spark, sf_dir):
+    """Batch-vs-corpus probe: exact re-ingests surface at 1,000,000 ppm via
+    the md5 path; last-word-dropped docs surface as near-dups via the LSH
+    path; the corpus is never self-paired (no corpus-corpus ids in output)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from marmot_spark.operators.dedup import incremental_dedup_pairs
+
+    corpus = e._docs(spark, sf_dir).select("doc_id", "text", "tokens")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 14 == 0, F.regexp_replace("text", " [^ ]*$", "")
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .withColumn("tokens", F.transform(F.split("text", " "), e._tok_id))
+    )
+    out = incremental_dedup_pairs(
+        batch, corpus, "doc_id", "text", "tokens", jaccard_threshold_ppm=300_000
+    ).collect()
+    assert out, "expected at least the exact re-ingests to surface"
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in out}
+    # every id_a is a batch id, every id_b a corpus id — never corpus-corpus
+    assert all(a >= 1_000_000 and b < 1_000_000 for a, b in by_pair)
+    n_batch = batch.count()
+    exact_self = [(a, b) for (a, b), p in by_pair.items()
+                  if b == a - 1_000_000 and p == 1_000_000]
+    near_self = [(a, b) for (a, b), p in by_pair.items()
+                 if b == a - 1_000_000 and 300_000 <= p < 1_000_000]
+    # unperturbed batch docs (doc_id % 14 != 0) re-found exactly
+    n_unperturbed = batch.filter((F.col("doc_id") - 1_000_000) % 14 != 0).count()
+    assert len(exact_self) >= n_unperturbed
+    assert near_self, "perturbed docs should surface as near-dups"
+    assert len(exact_self) + len(near_self) >= int(0.9 * n_batch)
