@@ -1332,32 +1332,86 @@ FROM comps JOIN sizes USING (cluster_id) JOIN best USING (cluster_id)
 
 
 def _q_dedup_spans(spark, sf):
-    """Exact duplicated-SPAN inventory (Lee et al. 2022 "Deduplicating
-    Training Data Makes Language Models Better" — exact-substring dedup at
-    fixed window granularity, the bucketed recast of their suffix-array
-    scan): every 5-token window occurring in >= 2 documents, with its doc
-    count and the survivor (min doc_id). Spans are per-doc DISTINCT (set
-    semantics). Scale shape: in-array shingle fold (codegen, no shuffle) ->
-    one partial-aggregated groupBy on the int64 span hash — the same
-    exchange shape as a word count, at any corpus size."""
-    from marmot_spark.operators.dedup import shingle_hashes_col
+    """Sub-document dedup machinery, two parts tagged by ``part``:
+
+    * ``span5`` — exact duplicated-SPAN inventory (Lee et al. 2022
+      "Deduplicating Training Data Makes Language Models Better" —
+      exact-substring dedup at fixed window granularity, the bucketed
+      recast of their suffix-array scan): every 5-token window occurring
+      in >= 2 documents, with its doc count and the survivor (min doc_id).
+      Spans are per-doc DISTINCT (set semantics). Scale shape: in-array
+      shingle fold (codegen, no shuffle) -> one partial-aggregated groupBy
+      on the int64 span hash — the word-count exchange at any corpus size.
+    * ``cdc`` — content-defined chunking
+      (operators/dedup.py::cdc_chunk_cols): Rabin-style rolling-hash
+      boundaries (window=4, 2^5 expected chunk length, max_len=64 forced
+      cut) with per-chunk polynomial hashes — the chunk inventory whose
+      groupBy(chunk_hash) is chunk-level dedup; entirely array-side, zero
+      shuffle before the explode. Certified per (doc, chunk): every
+      boundary position and chunk hash must match the DuckDB mirror.
+
+    Unified columns: (part, doc_id, hash, v1, v2) = span5: (NULL, span
+    hash, n_docs, first_doc) / cdc: (doc_id, chunk_hash, chunk_idx,
+    chunk_len)."""
+    from marmot_spark.operators.dedup import cdc_chunk_cols, shingle_hashes_col
 
     d = _docs(spark, sf)
     sh = d.select("doc_id", F.explode(shingle_hashes_col("tokens", 5)).alias("span_hash"))
-    return (
+    spans = (
         sh.groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") >= 2)
+        .select(
+            F.lit("span5").alias("part"), F.lit(None).cast("long").alias("doc_id"),
+            F.col("span_hash").alias("hash"), F.col("n_docs").alias("v1"),
+            F.col("first_doc").alias("v2"),
+        )
     )
+    cdc = (
+        d.select("doc_id", F.explode(cdc_chunk_cols("tokens")).alias("c"))
+        .select(
+            F.lit("cdc").alias("part"), "doc_id",
+            F.col("c.chunk_hash").alias("hash"),
+            F.col("c.chunk_idx").cast("long").alias("v1"),
+            F.col("c.chunk_len").cast("long").alias("v2"),
+        )
+    )
+    return spans.unionByName(cdc)
+
+
+_CDC_FOLD = "(acc, t) -> (acc*1000003 + CAST(t AS BIGINT)+1) % 2147483647"
 
 
 def _sql_dedup_spans() -> str:
     return f"""
 WITH {DOCS_T},
-s AS (SELECT doc_id, list_distinct({_sh_sql(5)}) AS sh FROM docs_t WHERE length(tokens) >= 5)
-SELECT u.x AS span_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+s AS (SELECT doc_id, list_distinct({_sh_sql(5)}) AS sh FROM docs_t WHERE length(tokens) >= 5),
+cb AS (SELECT doc_id, tokens,
+        CASE WHEN length(tokens) >= 2 THEN
+          list_filter(range(0, length(tokens)-1), i ->
+            (i >= 3 AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(tokens, i-2, i+1)), {_CDC_FOLD}) % 32 = 0)
+            OR ((i+1) % 64 = 0))
+        ELSE [] END AS bpos
+      FROM docs_t),
+cse AS (SELECT doc_id, tokens,
+         list_prepend(CAST(0 AS BIGINT), list_transform(bpos, p -> p+1)) AS starts,
+         list_append(bpos, CAST(length(tokens)-1 AS BIGINT)) AS ends
+       FROM cb WHERE length(tokens) >= 1),
+ccs AS (SELECT doc_id,
+         list_transform(range(0, len(starts)), j -> struct_pack(
+           chunk_idx := CAST(j AS BIGINT),
+           chunk_len := CAST(ends[j+1] - starts[j+1] + 1 AS BIGINT),
+           chunk_hash := list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_slice(tokens, starts[j+1]+1, ends[j+1]+1)), {_CDC_FOLD}))) AS cl
+       FROM cse)
+SELECT 'span5' AS part, CAST(NULL AS BIGINT) AS doc_id, u.x AS hash,
+  CAST(count(*) AS BIGINT) AS v1, min(doc_id) AS v2
 FROM s, UNNEST(sh) AS u(x)
 GROUP BY u.x HAVING count(*) >= 2
+UNION ALL
+SELECT 'cdc', doc_id, u.c.chunk_hash, u.c.chunk_idx, u.c.chunk_len
+FROM ccs, UNNEST(cl) AS u(c)
 """
 
 

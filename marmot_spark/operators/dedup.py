@@ -234,6 +234,76 @@ def incremental_dedup_pairs(
     )
 
 
+def cdc_chunk_cols(
+    tokens_col: str, *, window: int = 4, mask_bits: int = 5, max_len: int = 64
+) -> Column:
+    """Content-defined chunks of a token array:
+    ``array<struct<chunk_idx:int, start:int, chunk_len:int, chunk_hash:long>>``.
+
+    Rabin-style CDC recast for token sequences: a boundary falls AFTER
+    position i when the rolling hash of the ``window`` tokens ending at i
+    has its low ``mask_bits`` bits zero (expected chunk length 2^mask_bits),
+    OR at the ``max_len`` forced-cut backstop (bounds the pathological
+    no-boundary chunk; the standard CDC fallback, at the cost of
+    content-definedness at exactly those cuts). Because the predicate is
+    per-position LOCAL (no min-length suppression — that would thread
+    sequential state through the scan), the whole operator is array-side
+    higher-order functions: zero shuffle, embarrassingly parallel, and an
+    edit to one token can only move boundaries within its own
+    window-neighborhood — the CDC property that makes chunk hashes stable
+    under local edits, which is what sub-document dedup of near-identical
+    web pages needs.
+
+    Chunk hash = the engine-wide polynomial fold
+    ``(acc*1000003 + tok+1) mod P31`` over the chunk — integer-exact,
+    mirrored in SQL. Downstream: explode + groupBy(chunk_hash) is the
+    word-count shape at any corpus size.
+    """
+    if window < 1 or mask_bits < 1 or max_len < 2:
+        raise ValueError("window >= 1, mask_bits >= 1, max_len >= 2 required")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+
+    def fold(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * F.lit(1_000_003) + t.cast("long") + 1) % F.lit(P31),
+        )
+
+    def is_boundary(i: Column) -> Column:
+        roll = fold(F.slice(toks, i - window + 2, F.lit(window)))
+        return ((i >= window - 1) & (roll % (1 << mask_bits) == 0)) | (
+            (i + 1) % max_len == 0
+        )
+
+    bpos = F.when(n >= 2, F.filter(F.sequence(F.lit(0), n - 2), is_boundary)).otherwise(
+        F.array().cast("array<int>")
+    )
+    starts = F.concat(F.array(F.lit(0)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n - 1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(starts) - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_idx"),
+            F.element_at(starts, j + 1).cast("int").alias("start"),
+            (F.element_at(ends, j + 1) - F.element_at(starts, j + 1) + 1)
+            .cast("int")
+            .alias("chunk_len"),
+            fold(
+                F.slice(
+                    toks,
+                    F.element_at(starts, j + 1) + 1,
+                    F.element_at(ends, j + 1) - F.element_at(starts, j + 1) + 1,
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return F.when(n >= 1, chunks).otherwise(
+        F.array().cast("array<struct<chunk_idx:int,start:int,chunk_len:int,chunk_hash:long>>")
+    )
+
+
 def simhash_col(tokens_col: str, bits: int = 64) -> Column:
     """Array-side bit-majority simhash over int token ids (zero shuffle).
 

@@ -634,3 +634,49 @@ def test_incremental_dedup_pairs(spark, sf_dir):
     assert len(exact_self) >= n_unperturbed
     assert near_self, "perturbed docs should surface as near-dups"
     assert len(exact_self) + len(near_self) >= int(0.9 * n_batch)
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property: a single-token edit may only change chunks whose
+    span overlaps the edit's window-neighborhood — every chunk lying
+    entirely outside [pos-window+1, pos+window-1] keeps the SAME
+    (start, len, hash). A fixed-stride chunker shifts everything after the
+    edit; CDC must not. Also pins parameter validation and degenerate
+    inputs (empty / single-token docs)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from marmot_spark.operators.dedup import cdc_chunk_cols
+
+    toks = [(i * 37 + 11) % 1000 for i in range(400)]
+    edit_pos = 200
+    edited = list(toks)
+    edited[edit_pos] = (edited[edit_pos] + 500) % 1000
+    df = spark.createDataFrame(
+        [(1, toks), (2, edited), (3, []), (4, [9])], "id long, tokens array<int>"
+    )
+    rows = (
+        df.select("id", F.explode_outer(cdc_chunk_cols("tokens", window=4, mask_bits=4)).alias("c"))
+        .select("id", "c.*")
+        .collect()
+    )
+    chunks = {i: sorted(
+        (r["start"], r["chunk_len"], r["chunk_hash"]) for r in rows if r["id"] == i and r["start"] is not None
+    ) for i in (1, 2, 3, 4)}
+    assert chunks[3] == [] and len(chunks[4]) == 1
+    base = {(s, l): h for s, l, h in chunks[1]}
+    window = 4
+    far_same = far_total = 0
+    for s, l, h in chunks[2]:
+        if s + l - 1 < edit_pos - window + 1 or s > edit_pos + window - 1:
+            far_total += 1
+            far_same += int(base.get((s, l)) == h)
+    assert far_total > 0 and far_same == far_total, (far_same, far_total)
+    # the edited position's chunk DID change
+    hit = [h for s, l, h in chunks[2] if s <= edit_pos <= s + l - 1]
+    base_hit = [h for s, l, h in chunks[1] if s <= edit_pos <= s + l - 1]
+    assert hit != base_hit
+
+    with _pytest.raises(ValueError):
+        cdc_chunk_cols("tokens", window=0)
+    with _pytest.raises(ValueError):
+        cdc_chunk_cols("tokens", max_len=1)
