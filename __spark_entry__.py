@@ -2813,8 +2813,22 @@ FROM s JOIN c ON c.event_id = s.event_id
 
 def _q_w6_sessionize_suite(spark, sf):
     """W6 — serial sessionize (per-user) AND the chunked boundary-merge path
-    (n_chunks=4 on event_type) joined on event_id."""
-    s = _q_w6_sessionize(spark, sf)
+    (n_chunks=4 on event_type) joined on event_id, plus the SESSION-LEVEL
+    features (operators/windows.py::session_features): events-in-session,
+    session duration, within-session position, session value sum — all
+    free riders on sessionize's one Exchange (windows over
+    (user_id, session_id) re-use hashpartitioning(user_id); sort only)."""
+    from marmot_spark.operators.windows import session_features, sessionize
+
+    ev = _events(spark, sf).withColumn("value_c", _cents("value"))
+    ev = sessionize(ev, "user_id", "ts", 1800.0, order_extra=["event_id"])
+    ev = session_features(
+        ev, "user_id", "ts", value_col="value_c", order_extra=["event_id"]
+    )
+    s = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "session_id",
+        "sess_n", "sess_dur_us", "sess_idx", F.col("sess_sum").alias("sess_sum_c"),
+    )
     c = _q_w6_sessionize_chunked(spark, sf).select(
         "event_id", "event_type", F.col("session_id").alias("chk_session_id")
     )
@@ -2822,10 +2836,23 @@ def _q_w6_sessionize_suite(spark, sf):
 
 
 _SQL_W6_SUITE = f"""
-WITH s AS ({_SQL_W6}), c AS ({_SQL_W6_CHUNKED})
-SELECT s.event_id, s.user_id, c.event_type, s.ts_us, s.session_id,
-  c.session_id AS chk_session_id
-FROM s JOIN c ON c.event_id = s.event_id
+WITH s AS ({_SQL_W6}), c AS ({_SQL_W6_CHUNKED}),
+sfeat AS (
+  SELECT s.*, {_CENTS_SQL.format(c='e.value')} AS vc
+  FROM s JOIN events e ON e.event_id = s.event_id
+)
+SELECT event_id, user_id, ts_us, session_id,
+  count(*) OVER wg AS sess_n,
+  max(ts_us) OVER wg - min(ts_us) OVER wg AS sess_dur_us,
+  CAST(row_number() OVER (PARTITION BY user_id, session_id
+                          ORDER BY ts_us, event_id) AS BIGINT) AS sess_idx,
+  CAST(sum(vc) OVER wg AS BIGINT) AS sess_sum_c,
+  event_type, chk_session_id
+FROM (
+  SELECT sfeat.*, c.event_type, c.session_id AS chk_session_id
+  FROM sfeat JOIN c ON c.event_id = sfeat.event_id
+)
+WINDOW wg AS (PARTITION BY user_id, session_id)
 """
 
 

@@ -641,3 +641,48 @@ def rolling_count(
     if value_col is None:
         result = result.cast("long")
     return out.select(*[F.col(c) for c in df.columns], result.alias(out_col))
+
+
+def session_features(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    session_col: str = "session_id",
+    value_col: str | None = None,
+    order_extra: list[str] | None = None,
+    prefix: str = "sess_",
+) -> DataFrame:
+    """Per-SESSION aggregate features joined back onto every event row.
+
+    Given a frame already labeled by :func:`sessionize`, adds:
+
+    * ``{p}n``      — events in this event's session,
+    * ``{p}dur_us`` — session duration (last - first event, micros),
+    * ``{p}idx``    — this event's 1-based position within its session
+      (``order_extra`` tie-breaks duplicate timestamps, same contract as
+      sessionize),
+    * ``{p}sum``    — sum of ``value_col`` over the session (omitted when
+      ``value_col`` is None); integer-exact when the input is quantized.
+
+    Plan shape: windows partitioned by (entity, session). Because
+    ``hashpartitioning(entity)`` already CLUSTERS rows by any superset of
+    its keys, these windows reuse sessionize's single Exchange — Catalyst
+    inserts only a sort, never a second shuffle — so session features are
+    free riders on the sessionize pass (the fused plan is pinned by
+    tests/test_ops_surface.py). The unbounded frame over (entity, session)
+    is safe at web scale: a session is gap-bounded, so no partition-sized
+    frame exists.
+    """
+    df = ntz_to_ts(df, ts)
+    p = prefix
+    us = F.unix_micros(F.col(ts))
+    w = Window.partitionBy(entity, session_col)
+    ws = w.orderBy(*[us.asc()] + [F.col(c).asc() for c in (order_extra or [])])
+    out = (
+        df.withColumn(f"{p}n", F.count(F.lit(1)).over(w))
+        .withColumn(f"{p}dur_us", F.max(us).over(w) - F.min(us).over(w))
+        .withColumn(f"{p}idx", F.row_number().over(ws).cast("long"))
+    )
+    if value_col is not None:
+        out = out.withColumn(f"{p}sum", F.sum(value_col).over(w))
+    return out

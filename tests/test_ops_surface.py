@@ -1107,3 +1107,33 @@ def test_temperature_rates(spark):
     assert got == {"big": 10000, "mid": 10000, "tiny": 10000}  # tau=1 last
     with _pytest.raises(ValueError, match="tau"):
         temperature_rates(df, "source", tau=1.5)
+
+
+def test_session_features_reuse_sessionize_exchange(spark, sf_dir):
+    """session_features windows partition by (entity, session_id); because
+    hashpartitioning(entity) clusters any superset of its keys, they must
+    REUSE sessionize's Exchange — exactly one hashpartitioning(user_id...)
+    in the whole plan, plus correctness of the per-session aggregates."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from marmot_spark.operators.windows import session_features, sessionize
+
+    ev = e._events(spark, sf_dir).withColumn("value_c", e._cents("value"))
+    out = session_features(
+        sessionize(ev, "user_id", "ts", 1800.0, order_extra=["event_id"]),
+        "user_id", "ts", value_col="value_c", order_extra=["event_id"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+    pdf = out.toPandas()
+    g = pdf.groupby(["user_id", "session_id"])
+    assert (g["sess_n"].transform("size") == pdf["sess_n"]).all()
+    import pandas as pd
+    dur = g["ts"].transform("max") - g["ts"].transform("min")
+    assert (dur.dt.total_seconds() * 1_000_000 - pdf["sess_dur_us"]).abs().max() < 1
+    assert (g["value_c"].transform("sum") == pdf["sess_sum"]).all()
+    # sess_idx is a 1..n permutation within each session
+    assert (g["sess_idx"].transform("min") == 1).all()
+    assert (g["sess_idx"].transform("max") == pdf["sess_n"]).all()
