@@ -2793,21 +2793,34 @@ JOIN ch ON ch.event_id = b.event_id
 
 def _q_a4_rolling_suite(spark, sf):
     """A4 — serial path (per-user 1h frames) AND the chunked scale path
-    (n_chunks=4 on the low-cardinality event_type) joined on event_id."""
+    (n_chunks=4 on the low-cardinality event_type) joined on event_id, plus
+    the rolling DISTINCT count (operators/windows.py::rolling_distinct —
+    distinct event types this user touched in the trailing hour; exact
+    RANGE-frame collect_set, sharing the per-user exchange)."""
+    from marmot_spark.operators.windows import rolling_distinct
+
     s = _q_a4_rolling_count(spark, sf)
+    rd = rolling_distinct(
+        _events(spark, sf), "user_id", "ts", 3600, "event_type", "rolling_types"
+    ).select("event_id", "rolling_types")
     c = _q_a4_rolling_chunked(spark, sf).select(
         "event_id", "event_type",
         F.col("rolling_n").alias("chk_rolling_n"),
         F.col("rolling_value_c").alias("chk_rolling_value_c"),
     )
-    return s.join(c, "event_id")
+    return s.join(c, "event_id").join(rd, "event_id")
 
 
 _SQL_A4_SUITE = f"""
-WITH s AS ({_SQL_A4}), c AS ({_SQL_A4_CHUNKED})
+WITH s AS ({_SQL_A4}), c AS ({_SQL_A4_CHUNKED}),
+rd AS (SELECT event_id,
+         CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_types
+       FROM events)
 SELECT s.event_id, s.user_id, c.event_type, s.ts_us, s.rolling_n, s.rolling_value_c,
-  c.rolling_n AS chk_rolling_n, c.rolling_value_c AS chk_rolling_value_c
-FROM s JOIN c ON c.event_id = s.event_id
+  c.rolling_n AS chk_rolling_n, c.rolling_value_c AS chk_rolling_value_c,
+  rd.rolling_types
+FROM s JOIN c ON c.event_id = s.event_id JOIN rd ON rd.event_id = s.event_id
 """
 
 

@@ -686,3 +686,42 @@ def session_features(
     if value_col is not None:
         out = out.withColumn(f"{p}sum", F.sum(value_col).over(w))
     return out
+
+
+def rolling_distinct(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    window_seconds: int,
+    value_col: str,
+    out_col: str = "rolling_distinct",
+) -> DataFrame:
+    """Event-time rolling DISTINCT count of ``value_col`` over the trailing
+    window ([ts - W, ts] inclusive, per entity — same frame contract as
+    :func:`rolling_count`).
+
+    Distinctness is not subtractive, so rolling_count's two-growing-frames
+    difference trick does not apply; this is the honest RANGE-frame
+    ``size(collect_set(...))`` — O(rows-in-frame) work and state per row,
+    the right plan when the frame is naturally bounded (events per entity
+    per hour), which is the feature-engineering case ("distinct event types
+    this user touched in the last hour"). For unbounded frames at corpus
+    scale, use the mergeable sketch path (operators/sketch.py — HLL per
+    time bucket, union-merged) and accept the approximation; this exact
+    form is deliberately not chunked.
+
+    Shares the (entity) Exchange and the integer-micros sort with
+    rolling_count's fast path — composing both adds no shuffle.
+    """
+    df = ntz_to_ts(df, ts)
+    us = (
+        F.unix_micros(F.col(ts))
+        if dict(df.dtypes)[ts].startswith("timestamp")
+        else F.col(ts)
+    )
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(us.asc())
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    return df.withColumn(out_col, F.size(F.collect_set(value_col).over(w)).cast("long"))

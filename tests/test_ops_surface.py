@@ -1137,3 +1137,31 @@ def test_session_features_reuse_sessionize_exchange(spark, sf_dir):
     # sess_idx is a 1..n permutation within each session
     assert (g["sess_idx"].transform("min") == 1).all()
     assert (g["sess_idx"].transform("max") == pdf["sess_n"]).all()
+
+
+def test_rolling_distinct_shares_exchange(spark, sf_dir):
+    """rolling_distinct composed onto rolling_count's fast path must add no
+    shuffle (same entity partitioning, same integer-micros sort) and must
+    match a pandas per-row frame scan."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from marmot_spark.operators.windows import rolling_count, rolling_distinct
+
+    ev = e._events(spark, sf_dir)
+    out = rolling_distinct(
+        rolling_count(ev, "user_id", "ts", 3600, "rolling_n"),
+        "user_id", "ts", 3600, "event_type", "rolling_types",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+    pdf = out.select("event_id", "user_id", "ts", "event_type", "rolling_types").toPandas()
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("us")
+        for _, r in g.head(50).iterrows():
+            want = g[(g["us"] >= r["us"] - 3600_000_000) & (g["us"] <= r["us"])][
+                "event_type"
+            ].nunique()
+            assert r["rolling_types"] == want
