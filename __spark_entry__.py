@@ -3306,7 +3306,9 @@ def _q_splits_suite(spark, sf):
     (cap_keep, k=15 per source — 15 of each 25-doc source survive, so both
     branches are exercised — portable-hash rank so the DuckDB oracle
     mirrors the survivor election exactly)."""
-    from marmot_spark.functions.splits import split_hash_col, temperature_rates
+    from marmot_spark.functions.splits import (
+        split_hash_col, temperature_rates, token_budget_sample,
+    )
     from marmot_spark.operators.encoders import cap_per_group, temporal_split_embargo
 
     s = _q_split_assign(spark, sf)
@@ -3329,15 +3331,20 @@ def _q_splits_suite(spark, sf):
         _tbl(spark, sf, "documents").select("doc_id", "source"),
         "source", 15, "doc_id", seed=5, hash_mode="portable",
     ).select("doc_id", "cap_keep")
+    bud = token_budget_sample(
+        _tbl(spark, sf, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", 4000, seed=2,
+    ).select("doc_id", "budget_keep")
     return (
         s.join(m, "doc_id", "left")
         .join(taued, "doc_id")
         .join(emb, "doc_id")
         .join(cap, "doc_id")
+        .join(bud, "doc_id")
         .select(
             "doc_id", "source", "split",
             F.coalesce("kept", F.lit(0)).cast("int").alias("kept"),
-            "rate_bps", "kept_tau", "split_time", "cap_keep",
+            "rate_bps", "kept_tau", "split_time", "cap_keep", "budget_keep",
         )
     )
 
@@ -3348,6 +3355,7 @@ def _sql_splits_suite() -> str:
     dt = repr(0.7 - 1.0)  # the exact double Spark uses for tau-1
     h = split_hash_sql("s.doc_id", seed=1)
     hcap = split_hash_sql("doc_id", seed=5)
+    hbud = split_hash_sql("doc_id", seed=2)
     return f"""
 WITH s AS ({_sql_split_assign()}), m AS ({_sql_mixture_sample()}),
 cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
@@ -3365,16 +3373,21 @@ emb AS (SELECT doc_id,
         FROM documents),
 cap AS (SELECT doc_id,
           row_number() OVER (PARTITION BY source ORDER BY {hcap}, doc_id) <= 15 AS cap_keep
+        FROM documents),
+bud AS (SELECT doc_id,
+          sum(n_chars) OVER (PARTITION BY source ORDER BY {hbud}, doc_id
+                             ROWS UNBOUNDED PRECEDING) <= 4000 AS budget_keep
         FROM documents)
 SELECT s.doc_id, s.source, s.split,
   CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS kept,
   tr.rate_bps, {h} < tr.rate_bps AS kept_tau,
-  emb.split_time, cap.cap_keep
+  emb.split_time, cap.cap_keep, bud.budget_keep
 FROM s LEFT JOIN m ON m.doc_id = s.doc_id
 JOIN documents d ON d.doc_id = s.doc_id
 JOIN tr ON tr.lang = d.lang
 JOIN emb ON emb.doc_id = s.doc_id
 JOIN cap ON cap.doc_id = s.doc_id
+JOIN bud ON bud.doc_id = s.doc_id
 """
 
 

@@ -24,7 +24,7 @@ comparisons at the boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from marmot_spark.functions.text import FP_MOD, FP_MULT
@@ -166,3 +166,41 @@ def temperature_rates(
         .cast("long")
         .alias("rate_bps"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    seed: int = 2,
+    out_col: str = "budget_keep",
+) -> DataFrame:
+    """Keep a content-stable PREFIX of each group totalling at most
+    ``budget`` weight ("sample ~10B tokens per domain" — the curation op
+    that budgets by tokens, not documents).
+
+    Rows are ordered inside each group by the cross-engine content hash of
+    the id (then the id — total order), and a row is kept iff its INCLUSIVE
+    running weight sum is within budget. Prefix semantics, deliberately:
+    first-fit would pack the budget tighter but threads sequential state
+    through the scan; the prefix form is one window cumsum — distributed,
+    deterministic, reproducible under corpus growth for the kept prefix's
+    hash range, and exactly SQL-mirrorable. A row heavier than the whole
+    budget blocks its suffix; callers who want it skipped should pre-filter
+    ``weight_col <= budget``.
+
+    Scale: one Exchange on ``group_col`` + one sort; hot groups are
+    AQE-skew-splittable on the Exchange and the frame is add-only (no
+    sliding rescan).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(split_hash_col(id_col, seed).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(weight_col).cast("long")).over(w)
+    return df.withColumn(out_col, cum <= F.lit(int(budget)))

@@ -221,3 +221,38 @@ def test_cap_per_group_deterministic_bound(spark):
     ).toPandas()
     kept_b = b[b["cap_keep"]].groupby("user_id")["event_id"].apply(set)
     assert dict(kept) == dict(kept_b)
+
+
+def test_token_budget_sample(spark):
+    """Kept weight per group never exceeds budget; kept rows form a PREFIX
+    of the hash order (no skip-and-fill); content-stable under reshuffle;
+    budget=0 keeps nothing."""
+    import pandas as pd
+    from marmot_spark.functions.splits import split_hash_col, token_budget_sample
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "grp": [f"g{i % 4}" for i in range(120)],
+            "w": [(i * 31 + 7) % 90 + 10 for i in range(120)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = token_budget_sample(df, "grp", "w", 400, seed=2).withColumn(
+        "h", split_hash_col("doc_id", seed=2)
+    ).toPandas()
+    for g, gg in out.groupby("grp"):
+        kept = gg[gg["budget_keep"]]
+        assert kept["w"].sum() <= 400
+        gg = gg.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        flags = list(gg["budget_keep"])
+        assert flags == sorted(flags, reverse=True), f"non-prefix keep in {g}"
+        assert flags[0], "first row of each group must fit (weights < budget)"
+    again = token_budget_sample(
+        spark.createDataFrame(pdf.sample(frac=1.0, random_state=9)).repartition(5),
+        "grp", "w", 400, seed=2,
+    ).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["budget_keep_a"] == merged["budget_keep_b"]).all()
+    assert not token_budget_sample(df, "grp", "w", 0).toPandas()["budget_keep"].any()
