@@ -3186,11 +3186,35 @@ SELECT 'incr', id_a, id_b, jaccard_ppm FROM ({_sql_dedup_incremental()})
 def _q_ann_suite(spark, sf):
     """All three ANN strategies in one verified result, tagged by method:
     exact brute-force top-k, hyperplane-LSH bucketed, and IVF with the
-    deterministic first-8 codebook."""
+    deterministic first-8 codebook — plus HARD-NEGATIVE mining
+    (operators/similarity.py::hard_negatives): nearest corpus items per
+    query from a DIFFERENT label, the contrastive-training miner."""
+    from marmot_spark.operators.similarity import hard_negatives
+
     bf = _q_ann_brute_force(spark, sf).select(F.lit("bf").alias("method"), "*")
     lsh = _q_ann_lsh(spark, sf).select(F.lit("lsh").alias("method"), "*")
     ivf = _q_ann_ivf(spark, sf).select(F.lit("ivf").alias("method"), "*")
-    return bf.unionByName(lsh).unionByName(ivf)
+    emb = _tbl(spark, sf, "embeddings")
+    hn = hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=5).select(
+        F.lit("hardneg").alias("method"), "query_id", "neighbor_id", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return bf.unionByName(lsh).unionByName(ivf).unionByName(hn)
+
+
+_SQL_ANN_HARDNEG = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS qg, {_quant_sql('embedding')} AS qq
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, label AS ng, {_quant_sql('embedding')} AS qc FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(range(len(qq)),
+          i -> qq[CAST(i AS INT)+1] * qc[CAST(i AS INT)+1])) AS BIGINT) AS score
+      FROM q, c WHERE neighbor_id != query_id AND ng != qg)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
 
 
 def _sql_ann_suite() -> str:
@@ -3200,6 +3224,8 @@ UNION ALL
 SELECT 'lsh', query_id, neighbor_id, score, rank FROM ({_sql_ann_lsh()})
 UNION ALL
 SELECT 'ivf', query_id, neighbor_id, score, rank FROM ({_sql_ann_ivf()})
+UNION ALL
+SELECT 'hardneg', query_id, neighbor_id, score, rank FROM ({_SQL_ANN_HARDNEG})
 """
 
 

@@ -1165,3 +1165,32 @@ def test_rolling_distinct_shares_exchange(spark, sf_dir):
                 "event_type"
             ].nunique()
             assert r["rolling_types"] == want
+
+
+def test_hard_negatives_excludes_own_group(spark, sf_dir):
+    """Every mined negative has a different label than its query; ranks are
+    dense 1..k; scores agree with a numpy brute-force scan restricted to
+    other-label rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from marmot_spark.operators.similarity import hard_negatives
+
+    emb = e._tbl(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") < 3), k=4).toPandas()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    vecs = {
+        r["vec_id"]: np.floor(np.array(r["embedding"], dtype="float64") * 1000 + 0.5).astype("int64")
+        for r in emb.collect()
+    }
+    for qid, g in out.groupby("query_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        assert all(labels[n] != labels[qid] for n in g["neighbor_id"])
+        scores = sorted(
+            ((int(vecs[qid] @ v), -i) for i, v in vecs.items()
+             if i != qid and labels[i] != labels[qid]),
+            reverse=True,
+        )[: len(g)]
+        got = [(int(r["score"]), -int(r["neighbor_id"])) for _, r in g.sort_values("rank").iterrows()]
+        assert got == scores
