@@ -2681,14 +2681,34 @@ def _q_f9_discretize(spark, sf):
     over the exact distributed CDF — ties share a bucket, and the only
     ranked structure is the distinct-value histogram (octave-decomposed,
     never a global ntile sort). The oracle's window computes the same
-    strictly-below cumulative count directly."""
+    strictly-below cumulative count directly. Second part ('drift'):
+    operators/drift.py::snapshot_drift — the per-bin distribution-drift
+    table between the even- and odd-doc_id snapshots over the POOLED
+    quantile bins: exact counts, floor-ppm proportions, and the
+    overflow-safe proportion-form chi-square contribution (all integer
+    arithmetic; PSI/KL derivable downstream from the same counts)."""
+    from marmot_spark.operators.drift import snapshot_drift
     from marmot_spark.operators.rank import quantile_buckets
 
     docs = _tbl(spark, sf, "documents").select("doc_id", "n_chars")
-    return quantile_buckets(docs, "n_chars", 8, keep=["doc_id"]).select(
+    bins = quantile_buckets(docs, "n_chars", 8, keep=["doc_id"]).select(
+        F.lit("bins").alias("part"),
         "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
         F.col("bucket").cast("int").alias("bucket"),
+        F.lit(None).cast("long").alias("n_a"), F.lit(None).cast("long").alias("n_b"),
+        F.lit(None).cast("long").alias("chi2_q"),
     )
+    drift = snapshot_drift(
+        docs.filter(F.col("doc_id") % 2 == 0).select("n_chars"),
+        docs.filter(F.col("doc_id") % 2 == 1).select("n_chars"),
+        "n_chars", 8,
+    ).select(
+        F.lit("drift").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"), F.lit(None).cast("long").alias("n_chars"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_a", "n_b", "chi2_q",
+    )
+    return bins.unionByName(drift)
 
 
 _SQL_F9 = """
@@ -2697,8 +2717,30 @@ WITH c AS (
     CAST(count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING
                         AND 1 PRECEDING) AS BIGINT) AS cum_lt,
     (SELECT count(*) FROM documents) AS n
-  FROM documents)
-SELECT doc_id, n_chars, CAST(floor(cum_lt * 8 / n) AS INT) AS bucket FROM c
+  FROM documents),
+du AS (SELECT CAST(doc_id % 2 AS INT) AS side, n_chars FROM documents),
+dc AS (SELECT side, n_chars,
+        CAST(count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS BIGINT) AS cum_lt,
+        (SELECT count(*) FROM du) AS n
+      FROM du),
+db AS (SELECT side, CAST((cum_lt * 8) // n AS INT) AS bucket FROM dc),
+dp AS (SELECT bucket,
+        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(side) AS BIGINT) AS n_b
+       FROM db GROUP BY bucket),
+dt AS (SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb FROM dp),
+dr AS (SELECT bucket, n_a, n_b,
+        n_a * 1000000 // greatest(dt.na, 1) AS pa_ppm,
+        n_b * 1000000 // greatest(dt.nb, 1) AS pb_ppm
+       FROM dp, dt)
+SELECT 'bins' AS part, doc_id, n_chars, CAST(floor(cum_lt * 8 / n) AS INT) AS bucket,
+  CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS chi2_q
+FROM c
+UNION ALL
+SELECT 'drift', NULL, NULL, bucket, n_a, n_b,
+  (pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) // greatest(pa_ppm + pb_ppm, 1)
+FROM dr
 """
 
 

@@ -1194,3 +1194,32 @@ def test_hard_negatives_excludes_own_group(spark, sf_dir):
         )[: len(g)]
         got = [(int(r["score"]), -int(r["neighbor_id"])) for _, r in g.sort_values("rank").iterrows()]
         assert got == scores
+
+
+def test_snapshot_drift_exact_and_bounded(spark):
+    """Drift table: counts partition the pooled sample; identical snapshots
+    give zero chi2 in every bin; a shifted snapshot gives positive total;
+    ppm proportions are exact floor divisions; intermediates stay BIGINT-
+    safe by construction (proportion form)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from marmot_spark.operators.drift import snapshot_drift
+
+    a = spark.range(1000).select((F.col("id") % 97).alias("v"))
+    same = snapshot_drift(a, a, "v", 8).toPandas()
+    assert (same["chi2_q"] == 0).all()
+    assert same["n_a"].sum() == 1000 and same["n_b"].sum() == 1000
+    assert (same["n_a"] == same["n_b"]).all()
+
+    b = spark.range(1000).select(((F.col("id") % 97) + 40).alias("v"))
+    moved = snapshot_drift(a, b, "v", 8).toPandas()
+    assert moved["chi2_q"].sum() > 0
+    for _, r in moved.iterrows():
+        assert r["pa_ppm"] == r["n_a"] * 1_000_000 // max(moved["n_a"].sum(), 1)
+        assert r["pb_ppm"] == r["n_b"] * 1_000_000 // max(moved["n_b"].sum(), 1)
+        d = r["pa_ppm"] - r["pb_ppm"]
+        assert r["chi2_q"] == d * d // max(r["pa_ppm"] + r["pb_ppm"], 1)
+
+    with _pytest.raises(ValueError):
+        snapshot_drift(a, b, "v", 1)
