@@ -1168,13 +1168,44 @@ SELECT o_custkey, o_orderkey, price_c, rn FROM (
 
 
 def _q_dedup_exact(spark, sf):
-    return exact_dedup(_tbl(spark, sf, "documents"), "text", "doc_id")
+    """Exact dedup through BOTH hash domains, tagged by method: raw bytes
+    ('raw') and normalized text ('norm' —
+    functions/text.py::normalized_text_col, the RefinedWeb lowercase/
+    punct-collapse recipe). The corpus is unioned with a case+punctuation
+    mangled copy of every doc (upper + trailing '  !! ', shifted id): raw
+    dedup sees all singletons, norm dedup collapses each (orig, mangled)
+    pair — the verified result demonstrates exactly what normalization
+    buys. Same groupBy(md5) word-count shape either way."""
+    from marmot_spark.functions.text import normalized_text_col
+
+    d = _tbl(spark, sf, "documents").select("doc_id", "text")
+    mangled = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !! ")).alias("text"),
+    )
+    u = d.unionByName(mangled)
+    raw = exact_dedup(u, "text", "doc_id").select(
+        F.lit("raw").alias("method"), "content_hash", "n_dups", "survivor_id"
+    )
+    norm = exact_dedup(
+        u.withColumn("__norm", normalized_text_col("text")), "__norm", "doc_id"
+    ).select(F.lit("norm").alias("method"), "content_hash", "n_dups", "survivor_id")
+    return raw.unionByName(norm)
 
 
 _SQL_DEDUP_EXACT = """
-SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_dups,
-  CAST(min(doc_id) AS BIGINT) AS survivor_id
-FROM documents GROUP BY md5(text)
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  !! ' FROM documents
+)
+SELECT 'raw' AS method, md5(text) AS content_hash,
+  CAST(count(*) AS BIGINT) AS n_dups, CAST(min(doc_id) AS BIGINT) AS survivor_id
+FROM u GROUP BY md5(text)
+UNION ALL
+SELECT 'norm', md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),
+  CAST(count(*) AS BIGINT), CAST(min(doc_id) AS BIGINT)
+FROM u GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
 """
 
 

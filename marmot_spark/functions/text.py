@@ -118,3 +118,19 @@ def doc_fingerprint_col(tokens_col: str = "tokens") -> Column:
     return F.when(F.size(toks) > 0, F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)).otherwise(
         F.lit(0).cast("long")
     )
+
+
+def normalized_text_col(text_col: str = "text") -> Column:
+    """Dedup normalization (the RefinedWeb/Falcon "exact dedup on normalized
+    text" recipe): lowercase, collapse every non-alphanumeric run to one
+    space, trim. Hashing THIS instead of the raw text catches re-encoded
+    copies (case changes, punctuation variants, whitespace reflows) that
+    byte-exact dedup misses, at zero distribution cost — one codegen
+    projection feeding the same groupBy(md5) word-count shape.
+
+    Patterns stay in the Java/RE2 common subset (same discipline as
+    redact.py) so a SQL oracle mirrors them verbatim.
+    """
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[^a-z0-9]+", " ")
+    return F.trim(t)
