@@ -193,34 +193,60 @@ def incremental_dedup_pairs(
       shingle sets, kept at/above the threshold.
     """
     n_bands = n_hashes // rows_per_band
-    exact = (
-        batch.select(F.col(id_col).alias("id_a"), F.md5(F.col(text_col)).alias("__h"))
-        .join(
-            corpus.select(F.col(id_col).alias("id_b"), F.md5(F.col(text_col)).alias("__h")),
-            "__h",
-        )
-        .select("id_a", "id_b", F.lit(1_000_000).cast("long").alias("jaccard_ppm"))
+    sig_c = _sig_frame(corpus, id_col, tokens_col, k_shingle, n_hashes)
+    return _probe_corpus_state(
+        batch, id_col, text_col, tokens_col,
+        corpus.select(F.col(id_col).alias("id_b"), F.md5(F.col(text_col)).alias("__h")),
+        sig_c.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        _band_frame(sig_c, n_hashes, rows_per_band, n_bands).withColumnRenamed("id", "id_b"),
+        k_shingle=k_shingle, n_hashes=n_hashes, rows_per_band=rows_per_band,
+        jaccard_threshold_ppm=jaccard_threshold_ppm, max_bucket=max_bucket,
     )
 
+
+def _capped(bands: DataFrame, max_bucket: int) -> DataFrame:
+    w = Window.partitionBy("band", "bh")
+    return (
+        bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
+def _probe_corpus_state(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str,
+    corpus_hashes: DataFrame,
+    corpus_sh: DataFrame,
+    corpus_bands: DataFrame,
+    *,
+    k_shingle: int,
+    n_hashes: int,
+    rows_per_band: int,
+    jaccard_threshold_ppm: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Probe a batch against prepared corpus state — (id_b, __h) content
+    hashes, (id_b, sh_b) shingle sets, (id_b, band, bh) band keys — whether
+    built inline (:func:`incremental_dedup_pairs`) or read back from a
+    persisted index (:func:`probe_dedup_index`)."""
+    n_bands = n_hashes // rows_per_band
+    exact = (
+        batch.select(F.col(id_col).alias("id_a"), F.md5(F.col(text_col)).alias("__h"))
+        .join(corpus_hashes, "__h")
+        .select("id_a", "id_b", F.lit(1_000_000).cast("long").alias("jaccard_ppm"))
+    )
     sig_b = _sig_frame(batch, id_col, tokens_col, k_shingle, n_hashes)
-    sig_c = _sig_frame(corpus, id_col, tokens_col, k_shingle, n_hashes)
-
-    def _capped_bands(sig: DataFrame) -> DataFrame:
-        bands = _band_frame(sig, n_hashes, rows_per_band, n_bands)
-        w = Window.partitionBy("band", "bh")
-        return (
-            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
-
     cand = (
-        _capped_bands(sig_b).select(F.col("id").alias("id_a"), "band", "bh")
-        .join(_capped_bands(sig_c).select(F.col("id").alias("id_b"), "band", "bh"), ["band", "bh"])
+        _capped(_band_frame(sig_b, n_hashes, rows_per_band, n_bands), max_bucket)
+        .select(F.col("id").alias("id_a"), "band", "bh")
+        .join(_capped(corpus_bands, max_bucket).select("id_b", "band", "bh"), ["band", "bh"])
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         .join(sig_b.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sig_c.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .join(corpus_sh, "id_b")
     )
     near = (
         cand.withColumn("jaccard_ppm", jaccard_ppm(F.col("sh_a"), F.col("sh_b")))
@@ -231,6 +257,98 @@ def incremental_dedup_pairs(
         exact.unionByName(near)
         .groupBy("id_a", "id_b")
         .agg(F.max("jaccard_ppm").alias("jaccard_ppm"))
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    tio,
+    table: str,
+    id_col: str,
+    text_col: str,
+    tokens_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> dict:
+    """Persist the probe-side dedup state of a corpus snapshot via TableIO:
+    ``<table>__hashes`` (id_b, __h), ``<table>__sh`` (id_b, sh_b),
+    ``<table>__bands`` (id_b, band, bh), and a one-row ``<table>__meta``
+    carrying the signature parameters. Returns {name: snapshot_id}.
+
+    This closes the rolling-ingestion loop: the corpus is shingled ONCE per
+    snapshot; every subsequent batch probe (:func:`probe_dedup_index`) reads
+    the columnar state back instead of re-deriving it — the per-batch cost
+    no longer includes O(corpus) re-shingling. Parameters ride in the meta
+    table so a probe with mismatched signature settings fails loudly
+    instead of silently finding nothing.
+    """
+    spark = corpus.sparkSession
+    n_bands = n_hashes // rows_per_band
+    sig = _sig_frame(corpus, id_col, tokens_col, k_shingle, n_hashes)
+    snaps = {
+        f"{table}__hashes": tio.write(
+            corpus.select(F.col(id_col).alias("id_b"), F.md5(F.col(text_col)).alias("__h")),
+            f"{table}__hashes",
+        ),
+        f"{table}__sh": tio.write(
+            sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            f"{table}__sh",
+        ),
+        f"{table}__bands": tio.write(
+            _band_frame(sig, n_hashes, rows_per_band, n_bands).withColumnRenamed("id", "id_b"),
+            f"{table}__bands",
+        ),
+        f"{table}__meta": tio.write(
+            spark.createDataFrame(
+                [(int(k_shingle), int(n_hashes), int(rows_per_band))],
+                "k_shingle int, n_hashes int, rows_per_band int",
+            ),
+            f"{table}__meta",
+        ),
+    }
+    return snaps
+
+
+def probe_dedup_index(
+    batch: DataFrame,
+    tio,
+    table: str,
+    id_col: str,
+    text_col: str,
+    tokens_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold_ppm: int = 500_000,
+    max_bucket: int = 1000,
+    snapshots: dict | None = None,
+) -> DataFrame:
+    """Dedup a batch against a PERSISTED corpus index
+    (:func:`build_dedup_index`) — same result as
+    :func:`incremental_dedup_pairs` against the indexed corpus (pinned by
+    test), without touching corpus text or tokens. ``snapshots`` pins
+    specific index snapshot ids (resume/reproducibility); default latest.
+    """
+    spark = batch.sparkSession
+    snaps = snapshots or {}
+
+    def _read(name):
+        return tio.read(f"{table}__{name}", version_as_of=snaps.get(f"{table}__{name}"))
+
+    meta = _read("meta").collect()[0]
+    got = (meta["k_shingle"], meta["n_hashes"], meta["rows_per_band"])
+    want = (k_shingle, n_hashes, rows_per_band)
+    if got != want:
+        raise ValueError(
+            f"index {table} was built with (k_shingle, n_hashes, rows_per_band)={got}, "
+            f"probe requested {want}"
+        )
+    return _probe_corpus_state(
+        batch, id_col, text_col, tokens_col,
+        _read("hashes"), _read("sh"), _read("bands"),
+        k_shingle=k_shingle, n_hashes=n_hashes, rows_per_band=rows_per_band,
+        jaccard_threshold_ppm=jaccard_threshold_ppm, max_bucket=max_bucket,
     )
 
 

@@ -680,3 +680,57 @@ def test_cdc_chunks_edit_locality(spark):
         cdc_chunk_cols("tokens", window=0)
     with _pytest.raises(ValueError):
         cdc_chunk_cols("tokens", max_len=1)
+
+
+def test_dedup_index_probe_equals_inline(spark, sf_dir, tmp_path):
+    """probe_dedup_index against a persisted index must return EXACTLY the
+    pairs incremental_dedup_pairs finds inline; parameter mismatch fails
+    loudly; pinned snapshots keep answering after the index is rebuilt."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from marmot_spark.operators.dedup import (
+        build_dedup_index, incremental_dedup_pairs, probe_dedup_index,
+    )
+    from marmot_spark.sources.tables import TableIO
+
+    corpus = e._docs(spark, sf_dir).select("doc_id", "text", "tokens")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .withColumn("tokens", F.transform(F.split("text", " "), e._tok_id))
+    )
+    inline = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in incremental_dedup_pairs(
+            batch, corpus, "doc_id", "text", "tokens", jaccard_threshold_ppm=300_000
+        ).collect()
+    }
+
+    tio = TableIO(spark, str(tmp_path))
+    snaps = build_dedup_index(corpus, tio, "dix", "doc_id", "text", "tokens")
+    probed = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in probe_dedup_index(
+            batch, tio, "dix", "doc_id", "text", "tokens",
+            jaccard_threshold_ppm=300_000,
+        ).collect()
+    }
+    assert probed == inline and probed
+
+    with _pytest.raises(ValueError, match="built with"):
+        probe_dedup_index(batch, tio, "dix", "doc_id", "text", "tokens", k_shingle=4)
+
+    # rebuild the index from a SHRUNK corpus; the pinned first snapshots
+    # must still answer with the original pairs
+    build_dedup_index(corpus.limit(10), tio, "dix", "doc_id", "text", "tokens")
+    pinned = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in probe_dedup_index(
+            batch, tio, "dix", "doc_id", "text", "tokens",
+            jaccard_threshold_ppm=300_000, snapshots=snaps,
+        ).collect()
+    }
+    assert pinned == inline
