@@ -3261,8 +3261,12 @@ def _q_ann_suite(spark, sf):
     exact brute-force top-k, hyperplane-LSH bucketed, and IVF with the
     deterministic first-8 codebook — plus HARD-NEGATIVE mining
     (operators/similarity.py::hard_negatives): nearest corpus items per
-    query from a DIFFERENT label, the contrastive-training miner."""
-    from marmot_spark.operators.similarity import hard_negatives
+    query from a DIFFERENT label, the contrastive-training miner — plus
+    SEMANTIC DEDUP (operators/similarity.py::semantic_dedup, the SemDeDup
+    shape): corpus unioned with rescaled re-encodings, cell-clustered,
+    within-cell cosine pruning; rows = dropped items with their blocking
+    keeper (query_id=dup, neighbor_id=kept, score=cos_ppm, rank=n_hits)."""
+    from marmot_spark.operators.similarity import hard_negatives, semantic_dedup
 
     bf = _q_ann_brute_force(spark, sf).select(F.lit("bf").alias("method"), "*")
     lsh = _q_ann_lsh(spark, sf).select(F.lit("lsh").alias("method"), "*")
@@ -3272,7 +3276,19 @@ def _q_ann_suite(spark, sf):
         F.lit("hardneg").alias("method"), "query_id", "neighbor_id", "score",
         F.col("rank").cast("long").alias("rank"),
     )
-    return bf.unionByName(lsh).unionByName(ivf).unionByName(hn)
+    base = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.01)).alias("embedding"),
+    )
+    sd = semantic_dedup(base.unionByName(copies), threshold_ppm=950_000, n_cells=8).select(
+        F.lit("semdedup").alias("method"),
+        F.col("dup_id").alias("query_id"),
+        F.col("kept_id").alias("neighbor_id"),
+        F.col("cos_ppm").alias("score"),
+        F.col("n_hits").cast("long").alias("rank"),
+    )
+    return bf.unionByName(lsh).unionByName(ivf).unionByName(hn).unionByName(sd)
 
 
 _SQL_ANN_HARDNEG = f"""
@@ -3290,6 +3306,35 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def _sql_ann_semdedup() -> str:
+    dot_qq = _DOT_SQL.format(a="q", b="q")
+    dot_assign = _DOT_SQL.format(a="v2.q", b="cent.qcent")
+    dot_ab = _DOT_SQL.format(a="a.q", b="b.q")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(1.01 AS DOUBLE))
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, {_quant_sql('embedding')} AS qcent
+         FROM base ORDER BY vec_id LIMIT 8),
+v0 AS (SELECT vec_id AS id, {_quant_sql('embedding')} AS q FROM base),
+v1 AS (SELECT id, q, {dot_qq} AS n2 FROM v0),
+v2 AS (SELECT * FROM v1 WHERE n2 > 0),
+va AS (SELECT id, q, n2, cell FROM (
+    SELECT v2.id, v2.q, v2.n2, cent.cell,
+      row_number() OVER (PARTITION BY v2.id ORDER BY {dot_assign} DESC, cent.cell) AS rn
+    FROM v2, cent) WHERE rn = 1),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+        CAST(floor(CAST({dot_ab} * 1000000 AS DOUBLE) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))) AS BIGINT) AS cos_ppm
+      FROM va a JOIN va b ON a.cell = b.cell AND a.id < b.id)
+SELECT id_b AS query_id, min(id_a) AS neighbor_id, arg_min(cos_ppm, id_a) AS score,
+       CAST(count(*) AS BIGINT) AS rank
+FROM p WHERE cos_ppm >= 950000 GROUP BY id_b
+"""
+
+
 def _sql_ann_suite() -> str:
     return f"""
 SELECT 'bf' AS method, query_id, neighbor_id, score, rank FROM ({_SQL_ANN_BF})
@@ -3299,6 +3344,8 @@ UNION ALL
 SELECT 'ivf', query_id, neighbor_id, score, rank FROM ({_sql_ann_ivf()})
 UNION ALL
 SELECT 'hardneg', query_id, neighbor_id, score, rank FROM ({_SQL_ANN_HARDNEG})
+UNION ALL
+SELECT 'semdedup', query_id, neighbor_id, score, rank FROM ({_sql_ann_semdedup()})
 """
 
 

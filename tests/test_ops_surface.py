@@ -1223,3 +1223,49 @@ def test_snapshot_drift_exact_and_bounded(spark):
 
     with _pytest.raises(ValueError):
         snapshot_drift(a, b, "v", 1)
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """semantic_dedup (SemDeDup shape) vs a literal numpy re-implementation
+    of the documented pruning rule: x dropped iff an earlier same-cell item
+    is within the cosine threshold; kept_id = lowest blocker, n_hits =
+    blocker count. Fixture engineered so cells and cliques are non-trivial:
+    two directions plus noisy near-copies and one orthogonal singleton."""
+    import numpy as np
+
+    from marmot_spark.operators.similarity import QUANT, semantic_dedup
+
+    rng = np.random.RandomState(7)
+    d = 16
+    base_a = rng.rand(d) + 0.5
+    base_b = -(rng.rand(d) + 0.5)
+    vecs = []
+    for i in range(30):
+        src = base_a if i % 2 == 0 else base_b
+        noise = rng.rand(d) * (0.001 if i < 20 else 0.8)
+        vecs.append((i, [float(x) for x in (src + noise)]))
+    vecs.append((30, [float(x) for x in np.eye(d)[0] * 5.0]))
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    got = {
+        r["dup_id"]: (r["kept_id"], r["cos_ppm"], r["n_hits"])
+        for r in semantic_dedup(df, threshold_ppm=999_000, n_cells=4).collect()
+    }
+
+    q = np.array([np.floor(np.asarray(v) * QUANT + 0.5) for _, v in vecs], dtype=np.int64)
+    n2 = (q * q).sum(axis=1)
+    cents = q[:4]
+    dots = q @ cents.T
+    cell = np.argmax(dots, axis=1)  # first max = lowest cell id on ties
+    ref = {}
+    for b in range(len(q)):
+        hits = []
+        for a in range(b):
+            if cell[a] != cell[b] or n2[a] == 0 or n2[b] == 0:
+                continue
+            cos_ppm = int(np.floor(int(q[a] @ q[b]) * 1_000_000 / np.sqrt(float(n2[a] * n2[b]))))
+            if cos_ppm >= 999_000:
+                hits.append((a, cos_ppm))
+        if hits:
+            ref[b] = (hits[0][0], hits[0][1], len(hits))
+    assert ref, "fixture produced no duplicates — not exercising the operator"
+    assert got == ref
