@@ -2983,8 +2983,12 @@ def _q_text_metrics(spark, sf):
     C4/Gopher keep/drop flags, and the PII-redaction pass (counts +
     redacted text over deterministically synthesized PII — the raw corpus
     carries none, so the patterns are exercised against text built from
-    doc_id inside the query and identically inside the oracle)."""
+    doc_id inside the query and identically inside the oracle). Also the
+    WARC-ingestion text extractor (sources/warc.py::html_to_text) over HTML
+    synthesized from each document the same way on both sides — the RE2-safe
+    regexp chain runs identically in Spark and DuckDB."""
     from marmot_spark.functions.redact import pii_count_cols, redact_pii_col
+    from marmot_spark.sources.warc import html_to_text
     from marmot_spark.functions.text import (
         doc_fingerprint_col, lang_id_col, quality_cols, repetition_cols,
         token_count_cols,
@@ -3024,7 +3028,37 @@ def _q_text_metrics(spark, sf):
         keep.alias("keep"),
         *[c.alias(k) for k, c in pii_count_cols("pii_text").items()],
         redact_pii_col("pii_text").alias("text_redacted"),
+        html_to_text(
+            F.concat(
+                F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+                F.lit("</h1><style>.x red</style><p>"), F.col("text"),
+                F.lit(" &amp; tail</p><script>var x=1</script></body></html>"),
+            )
+        ).alias("text_from_html"),
     )
+
+
+def _html_extract_sql(src: str) -> str:
+    """DuckDB mirror of sources/warc.py::html_to_text — the IDENTICAL
+    RE2-safe regexp/replace chain, step for step."""
+    t = src
+    for pat, rep in [
+        ("(?is)<script\\b[^>]*>.*?</script>", "' '"),
+        ("(?is)<style\\b[^>]*>.*?</style>", "' '"),
+        ("(?s)<!--.*?-->", "' '"),
+        ("(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>", "chr(10)"),
+        ("(?s)<[^>]*>", "' '"),
+    ]:
+        t = f"regexp_replace({t}, '{pat}', {rep}, 'g')"
+    for ent, ch in [
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&nbsp;", " "),
+    ]:
+        t = f"replace({t}, '{ent}', '{ch}')"
+    t = f"regexp_replace({t}, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n ?', chr(10), 'g')"
+    t = f"regexp_replace({t}, '\\n{{2,}}', chr(10), 'g')"
+    return f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g')"
 
 
 def _sql_text_metrics() -> str:
@@ -3042,15 +3076,23 @@ def _sql_text_metrics() -> str:
         f"{o['n_phone']} AS n_phone, {o['text_redacted']} AS text_redacted "
         f"FROM (SELECT doc_id, {pii_src} AS pii_text FROM documents)"
     )
+    html_src = (
+        "concat('<html><body><h1>Doc ', CAST(doc_id AS VARCHAR), "
+        "'</h1><style>.x red</style><p>', text, "
+        "' &amp; tail</p><script>var x=1</script></body></html>')"
+    )
+    hx = (
+        f"SELECT doc_id, {_html_extract_sql(html_src)} AS text_from_html FROM documents"
+    )
     return f"""
 WITH q AS ({_SQL_QUALITY}), l AS ({_sql_lang_id()}), tc AS ({_SQL_TOKEN_COUNTS}),
 r AS ({_sql_text_repetition()}), fp AS ({_SQL_FINGERPRINT}), qf AS ({_sql_quality_filter()}),
-pii AS ({pii})
+pii AS ({pii}), hx AS ({hx})
 SELECT q.doc_id, l.lang, q.n_chars_obs, q.n_punct, q.n_stop, q.stop_ratio_ppm,
   q.punct_ratio_ppm, l.pred_lang, tc.n_tok_ws, tc.n_alpha_runs, tc.n_num_runs,
   r.dup_2gram_ppm, r.dup_3gram_ppm, fp.fingerprint,
   qf.f_too_short, qf.f_high_punct, qf.f_low_stopword, qf.f_high_repetition, qf.keep,
-  pii.n_email, pii.n_ipv4, pii.n_phone, pii.text_redacted
+  pii.n_email, pii.n_ipv4, pii.n_phone, pii.text_redacted, hx.text_from_html
 FROM q
 JOIN l ON l.doc_id = q.doc_id
 JOIN tc ON tc.doc_id = q.doc_id
@@ -3058,6 +3100,7 @@ JOIN r ON r.doc_id = q.doc_id
 JOIN fp ON fp.doc_id = q.doc_id
 JOIN qf ON qf.doc_id = q.doc_id
 JOIN pii ON pii.doc_id = q.doc_id
+JOIN hx ON hx.doc_id = q.doc_id
 """
 
 

@@ -124,7 +124,8 @@ def html_to_text(col: Column) -> Column:
     ``functions.redact.strip_boilerplate``'s job, applied per-line AFTER
     this) — this is the scale-path text reduction, not a browser.
     """
-    t = F.regexp_replace(col, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ")
+    t = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(
         t, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>", "\n"

@@ -131,7 +131,8 @@ def test_html_to_text_python_parity(spark):
     Spark regex-dialect surprise cannot pass silently."""
 
     def py_html_to_text(s: str) -> str:
-        t = re.sub(r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ", s)
+        t = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", s)
+        t = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", t)
         t = re.sub(r"(?s)<!--.*?-->", " ", t)
         t = re.sub(r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>", "\n", t)
         t = re.sub(r"(?s)<[^>]*>", " ", t)
