@@ -157,3 +157,48 @@ def test_warc_reader_plan_is_scan_projection(spark, warc_path):
     plan = read_warc(spark, warc_path)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_warc_to_curated_corpus_end_to_end(spark, tmp_path):
+    """The full web-pipeline composition a real user runs: raw WARC archive
+    -> extract_documents (HTML -> text) -> quality/lang columns -> exact
+    dedup -> curated corpus. Certifies the module boundaries compose (schema
+    and semantics), with an exact expected-survivor check: duplicate pages
+    under different URLs collapse to one; the junk page drops on quality."""
+    from marmot_spark.functions.text import lang_id_col, quality_cols
+    from marmot_spark.operators.dedup import exact_dedup
+
+    page = (
+        "<html><body><h1>Title {i}</h1>"
+        "<p>the quick brown fox and the lazy dog of page {i} went to the market "
+        "and it was a fine day for all of them there</p></body></html>"
+    )
+    recs = []
+    for i in range(20):
+        recs.append(_record("response", f"p{i}", f"http://site{i}.ex/a", "text/html", page.format(i=i)))
+    # three byte-identical reposts of page 3 under new URLs -> dedup fodder
+    for j in range(3):
+        recs.append(_record("response", f"dup{j}", f"http://mirror{j}.ex/b", "text/html", page.format(i=3)))
+    # one junk page: punctuation soup -> quality drop
+    recs.append(_record("response", "junk", "http://spam.ex/c", "text/html",
+                        "<html><body><p>!!! ??? *** $$$ %%% ### @@@ &&&</p></body></html>"))
+    arc = tmp_path / "crawl.warc"
+    arc.write_text("".join(recs), newline="")
+
+    docs = extract_documents(read_warc(spark, str(arc)))
+    q = quality_cols("text")
+    scored = docs.select(
+        "doc_id", "url", "text",
+        lang_id_col("text").alias("pred_lang"),
+        q["punct_ratio_ppm"].alias("punct_ppm"),
+    ).filter(F.col("punct_ppm") <= 100_000)
+    groups = exact_dedup(scored, content_col="text", id_col="doc_id")
+    kept = scored.join(groups.select(F.col("survivor_id").alias("doc_id")), "doc_id")
+    rows = kept.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert "<urn:uuid:junk>" not in ids  # quality gate
+    # 20 distinct pages survive; the 3 mirrors of page 3 collapse into its group
+    assert len(rows) == 20
+    dup_group = [r for r in rows if "page 3 " in r["text"]]
+    assert len(dup_group) == 1
+    assert all(r["pred_lang"] == "en" for r in rows)
