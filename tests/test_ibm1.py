@@ -196,3 +196,143 @@ def test_ibm2_diagonal_disambiguates_repeated_tokens(spark):
         .filter(F.col("doc_id") == "s0").collect()[0]
     )
     assert [(p["s"], p["t"]) for p in diag["links"]] == [(0, 0), (1, 1)]
+
+
+def _ref_fast_align(sents, n_iter, lam0=4.0, p0=0.08, include_null=True):
+    """Reference fast_align EM: the _ref_ibm2 E/M steps plus the tension
+    M step — lambda set each round to the root of E_model(lambda)[h] ==
+    posterior-weighted mean h, found by the same 60-step bisection as
+    marmot_spark.operators.ibm1._solve_lambda (mirrored independently here
+    with per-sentence loops instead of shape-grouped numpy)."""
+    import numpy as np
+
+    support = set()
+    for s, t_ in sents:
+        ss = ([NULL_ID] + s) if include_null else s
+        for e in ss:
+            for f in t_:
+                support.add((e, f))
+    fan = defaultdict(set)
+    for e, f in support:
+        fan[e].add(f)
+    t = {(e, f): 1.0 / len(fan[e]) for e, f in support}
+    lam = lam0
+
+    def w(i, n, j, m):  # i = 0 means NULL (include_null case)
+        if include_null and i == 0:
+            return p0
+        scale = (1.0 - p0) if include_null else 1.0
+        ii = i if include_null else i + 1
+        return scale * math.exp(-lam * abs(ii / n - (j + 1) / m))
+
+    for _ in range(n_iter):
+        cnt = defaultdict(float)
+        tot = defaultdict(float)
+        # tension sufficient statistics: per (n, m, j) real-link posterior
+        # mass and posterior-weighted h
+        wgt = defaultdict(float)
+        target = 0.0
+        for s, t_ in sents:
+            ss = ([NULL_ID] + s) if include_null else s
+            n, m = len(s), len(t_)
+            for j, f in enumerate(t_):
+                z = sum(w(i, n, j, m) * t[(e, f)] for i, e in enumerate(ss))
+                for i, e in enumerate(ss):
+                    c = w(i, n, j, m) * t[(e, f)] / z
+                    cnt[(e, f)] += c
+                    tot[e] += c
+                    real_i = i if include_null else i + 1
+                    if not (include_null and i == 0):
+                        h = abs(real_i / n - (j + 1) / m)
+                        wgt[(n, m, j)] += c
+                        target += c * h
+        t = {ef: cnt[ef] / tot[ef[0]] for ef in cnt}
+
+        def model_exp(l_):
+            out = 0.0
+            for (n, m, j), g in wgt.items():
+                hv = np.abs(np.arange(1, n + 1) / n - (j + 1) / m)
+                e_ = np.exp(-l_ * hv)
+                out += g * float((e_ * hv).sum() / e_.sum())
+            return out
+
+        lo, hi = 1e-3, 64.0
+        if model_exp(lo) <= target:
+            lam = lo
+        elif model_exp(hi) >= target:
+            lam = hi
+        else:
+            for _ in range(60):
+                mid = (lo + hi) / 2.0
+                if model_exp(mid) > target:
+                    lo = mid
+                else:
+                    hi = mid
+            lam = (lo + hi) / 2.0
+    return t, lam
+
+
+# diagonal corpus: tgt is src shifted into the 100+ id range, same positions
+DIAG_SENTS = [
+    ([0, 1, 2, 3], [100, 101, 102, 103]),
+    ([1, 3, 0, 2], [101, 103, 100, 102]),
+    ([2, 0, 3], [102, 100, 103]),
+    ([3, 2, 1, 0], [103, 102, 101, 100]),
+    ([0, 2, 1], [100, 102, 101]),
+]
+
+
+def test_fast_align_matches_python_reference(spark):
+    """train_fast_align == the pure-python mirror: same learned tension
+    (the bisection root over identical sufficient statistics) and same
+    t-table, to float tolerance, over multiple EM rounds — the compounding
+    path (lambda_k feeds E-step k+1) stays in lockstep."""
+    df = spark.createDataFrame(
+        [(s, t) for s, t in DIAG_SENTS], "src_tokens array<int>, tgt_tokens array<int>"
+    )
+    from marmot_spark.operators.ibm1 import train_fast_align
+
+    t_df, lam = train_fast_align(df, n_iter=3, lambda_init=2.0)
+    want_t, want_lam = _ref_fast_align(DIAG_SENTS, n_iter=3, lam0=2.0)
+    assert math.isclose(lam, want_lam, rel_tol=1e-6, abs_tol=1e-6), (lam, want_lam)
+    got = {(r["e"], r["f"]): r["t"] for r in t_df.collect()}
+    assert set(got) == set(want_t)
+    for ef in want_t:
+        assert math.isclose(got[ef], want_t[ef], rel_tol=1e-7, abs_tol=1e-9), ef
+
+
+def test_fast_align_learns_corpus_tension(spark):
+    """The tension is a property of the DATA: a strictly position-preserving
+    corpus drives lambda up (sharper diagonal) while the same sentence pairs
+    with target order reversed drive it down — and the learned (t, lambda)
+    Viterbi-recovers the true diagonal links."""
+    from marmot_spark.operators.ibm1 import train_fast_align
+
+    diag = spark.createDataFrame(
+        [(f"d{i}", s, t) for i, (s, t) in enumerate(DIAG_SENTS)],
+        "doc_id string, src_tokens array<int>, tgt_tokens array<int>",
+    )
+    rev = spark.createDataFrame(
+        [(f"r{i}", s, t[::-1]) for i, (s, t) in enumerate(DIAG_SENTS)],
+        "doc_id string, src_tokens array<int>, tgt_tokens array<int>",
+    )
+    t_d, lam_d = train_fast_align(diag, n_iter=3, id_col="doc_id")
+    _, lam_r = train_fast_align(rev, n_iter=3, id_col="doc_id")
+    assert lam_d > lam_r, (lam_d, lam_r)
+    out = viterbi_align(diag, t_d, id_col="doc_id", diagonal_lambda=lam_d).collect()
+    for row in out:
+        src, links = row["src_tokens"], row["links"]
+        assert len(links) == len(src)
+        for l_ in links:
+            assert l_["s"] == l_["t"]  # position-preserving corpus
+
+
+def test_fast_align_shape_cap_raises(spark):
+    from marmot_spark.operators.ibm1 import train_fast_align
+    import pytest
+
+    df = spark.createDataFrame(
+        [(s, t) for s, t in DIAG_SENTS], "src_tokens array<int>, tgt_tokens array<int>"
+    )
+    with pytest.raises(ValueError, match="sentence shapes"):
+        train_fast_align(df, n_iter=1, max_shape_rows=2)
