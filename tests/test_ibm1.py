@@ -336,3 +336,47 @@ def test_fast_align_shape_cap_raises(spark):
     )
     with pytest.raises(ValueError, match="sentence shapes"):
         train_fast_align(df, n_iter=1, max_shape_rows=2)
+
+
+def test_full_fast_align_pipeline_learned_tension(spark):
+    """The complete fast_align pipeline with LEARNED tensions, both
+    directions independently: train_fast_align fwd + bwd -> viterbi with
+    each direction's own learned lambda -> swap bwd -> grow-diag-final.
+    On a repeated-token corpus (where plain IBM-1 is position-blind) the
+    learned-tension pipeline recovers the exact diagonal."""
+    from marmot_spark.operators.alignment import symmetrize_alignments
+    from marmot_spark.operators.ibm1 import train_fast_align
+
+    # every sentence repeats tokens, so only the diagonal prior can pick
+    # the positionally-correct occurrence
+    sents = [
+        ([0, 1, 0, 2], [100, 101, 100, 102]),
+        ([2, 2, 1], [102, 102, 101]),
+        ([1, 0, 1, 3], [101, 100, 101, 103]),
+        ([3, 0, 3], [103, 100, 103]),
+        ([0, 2, 0], [100, 102, 100]),
+    ]
+    rows = [(f"s{i}", s, t) for i, (s, t) in enumerate(sents)]
+    df = spark.createDataFrame(rows, "doc_id string, src_tokens array<int>, tgt_tokens array<int>")
+    rev = df.select("doc_id", F.col("tgt_tokens").alias("src_tokens"),
+                    F.col("src_tokens").alias("tgt_tokens"))
+
+    t_fwd, lam_fwd = train_fast_align(df, n_iter=4, id_col="doc_id")
+    t_bwd, lam_bwd = train_fast_align(rev, n_iter=4, id_col="doc_id")
+    assert lam_fwd > 1.0 and lam_bwd > 1.0, (lam_fwd, lam_bwd)
+
+    fwd = viterbi_align(df, t_fwd, out_col="fwd", diagonal_lambda=lam_fwd)
+    bwd_raw = viterbi_align(rev, t_bwd, out_col="bl", diagonal_lambda=lam_bwd)
+    bwd = bwd_raw.select(
+        "doc_id",
+        F.transform("bl", lambda p: F.struct(p["t"].alias("s"), p["s"].alias("t"))).alias("bwd"),
+    )
+    both = (
+        fwd.select("doc_id", "fwd", F.size("src_tokens").alias("n_src"),
+                   F.size("tgt_tokens").alias("n_tgt"))
+        .join(bwd, "doc_id")
+    )
+    out = {r["doc_id"]: [(p["s"], p["t"]) for p in r["align_sym"]]
+           for r in symmetrize_alignments(both).collect()}
+    for i, (s, _t) in enumerate(sents):
+        assert out[f"s{i}"] == [(k, k) for k in range(len(s))], (i, out[f"s{i}"])
