@@ -699,6 +699,43 @@ def _ngram_dict(spark, sf, n: int, min_count: int) -> DataFrame:
     )
 
 
+def _ngram_dict_multi(spark, sf, specs) -> DataFrame:
+    """All requested (n, min_count) n-gram dictionaries from ONE corpus
+    aggregation (same rows as unioning per-n ``_ngram_dict`` calls).
+
+    Per-n construction scans + tokenizes + aggregates the corpus once PER
+    ORDER (w3 paid 3 full passes); here every order's grams ride a single
+    Generate into one groupBy(n, ngram). Because each downstream per-n
+    consumer (the membership joins) filters the SAME aggregate, their
+    exchange subtrees are plan-identical and Spark's ReuseExchange runs the
+    scan+explode+partial-agg once at execution (guide §2.4: two operations
+    keyed the same way share one exchange)."""
+    from marmot_spark.operators.ngrams import ngrams_col
+
+    docs = _docs(spark, sf)
+
+    # factory, NOT a default-arg lambda: pyspark treats a 2-parameter lambda
+    # in F.transform as (element, index) — a `lambda g, n=n:` would silently
+    # bind n to the array index
+    def _tagged(n):
+        return F.transform(
+            ngrams_col("tokens", n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("ngram")),
+        )
+
+    parts = [_tagged(n) for n, _ in specs]
+    counts = (
+        docs.select(F.explode(F.concat(*parts)).alias("__s"))
+        .groupBy(F.col("__s.n").alias("n"), F.col("__s.ngram").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    keep = None
+    for n, mc in specs:
+        c = (F.col("n") == n) & (F.col("count") >= mc)
+        keep = c if keep is None else keep | c
+    return counts.filter(keep).select("ngram", "n")
+
+
 _GRAMS_SQL = """
 grams{n} AS (
   SELECT g FROM (
@@ -726,8 +763,9 @@ FROM docs_e e LEFT JOIN grams2 g
 
 def _q_w3_longest_ngram(spark, sf):
     ex = explode_tokens(_docs(spark, sf), keep=["doc_id"])
-    dicts = [_ngram_dict(spark, sf, 1, 5), _ngram_dict(spark, sf, 2, 3), _ngram_dict(spark, sf, 3, 2)]
-    d = dicts[0].unionByName(dicts[1]).unionByName(dicts[2])
+    # one corpus aggregation for all three orders (was: three _ngram_dict
+    # passes — 3 scans + 3 tokenizations + 3 shuffles for identical output)
+    d = _ngram_dict_multi(spark, sf, [(1, 5), (2, 3), (3, 2)])
     out = with_ngram_membership(ex, d, max_n=3)
     return out.select("doc_id", "pos", "tok", "in_lm_1", "in_lm_2", "in_lm_3", "longest_ngram")
 
@@ -779,8 +817,12 @@ def _q_a2_vocab_counts(spark, sf):
     ex = explode_tokens(docs, keep=["lang"])
     base = ex.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     est = cms_estimate(count_min_sketch(docs, "tokens", d=4, w=1024), F.col("tok"), 4, 1024)
+    # total token count == sum of the per-(lang, tok) counts: deriving it
+    # from ``base`` makes the two branches share one plan-identical exchange
+    # subtree (ReuseExchange), where aggregating the raw scan again paid a
+    # second full scan + tokenization of the corpus inside the timed plan
     tot = F.broadcast(
-        docs.agg(F.sum(F.size("tokens")).alias("__t")).withColumn("__j", F.lit(0))
+        base.agg(F.sum("cnt").alias("__t")).withColumn("__j", F.lit(0))
     )
     return (
         base.withColumn("cms_est", est)
@@ -937,18 +979,46 @@ def _q_set_ops_vocab_overlap(spark, sf):
     en-vocabulary count, hll_en the 2^10-register HLL estimate computed over
     the raw (non-distinct) en token stream — deterministic integer registers
     and an exact-BIGINT harmonic sum make it bit-identical across engines."""
-    from marmot_spark.operators.sketch import hll_estimate, hll_registers
+    from marmot_spark.operators.sketch import hll_bucket_rank_cols, hll_estimate_expr
 
+    # ONE corpus pass: per-token language flags (set algebra over distinct
+    # toks == boolean algebra over the flags), then a tiny per-HLL-bucket
+    # aggregate that carries the set-op counts alongside the registers'
+    # max(rank). The former intersect/exceptAll/distinct formulation planned
+    # 7 separate explode+distinct subtrees (14 scans); results are identical:
+    # |en INTERSECT es| = #toks(has_en & has_es), |en EXCEPT (es INTERSECT
+    # en)| = #toks(has_en & !has_es), and HLL registers over the raw en
+    # stream equal registers over its distinct support (max over duplicate
+    # values is the value's own rank).
     ex = explode_tokens(_docs(spark, sf), keep=["lang"])
-    en = ex.filter(F.col("lang") == "en").select("tok").distinct()
-    es = ex.filter(F.col("lang") == "es").select("tok").distinct()
-    inter = en.intersect(es).agg(F.count(F.lit(1)).alias("inter_n"))
-    diff = en.exceptAll(es.intersect(en)).agg(F.count(F.lit(1)).alias("diff_n"))
-    en_n = en.agg(F.count(F.lit(1)).alias("en_n"))
-    hll = hll_estimate(
-        hll_registers(ex.filter(F.col("lang") == "en"), F.col("tok"), p=10), p=10
-    ).select(F.col("hll_est").alias("hll_en"))
-    return inter.crossJoin(diff).crossJoin(F.broadcast(en_n)).crossJoin(F.broadcast(hll))
+    flags = (
+        ex.filter(F.col("lang").isin("en", "es"))
+        .groupBy("tok")
+        .agg(
+            F.max((F.col("lang") == "en").cast("int")).alias("has_en"),
+            F.max((F.col("lang") == "es").cast("int")).alias("has_es"),
+        )
+    )
+    b, r = hll_bucket_rank_cols(F.col("tok"), p=10)
+    g = flags.groupBy(b.alias("b")).agg(
+        F.max(F.when(F.col("has_en") == 1, r)).alias("r"),
+        F.sum(((F.col("has_en") == 1) & (F.col("has_es") == 1)).cast("long")).alias("i"),
+        F.sum(((F.col("has_en") == 1) & (F.col("has_es") == 0)).cast("long")).alias("d"),
+        F.sum(F.col("has_en").cast("long")).alias("e"),
+    )
+    agg = g.agg(
+        F.coalesce(F.sum("i"), F.lit(0)).cast("long").alias("inter_n"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("diff_n"),
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("en_n"),
+        F.count(F.col("r")).alias("np"),
+        F.sum(
+            F.when(F.col("r").isNotNull(), F.expr("shiftleft(CAST(1 AS BIGINT), 32 - r)"))
+        ).alias("sp"),
+    )
+    return agg.select(
+        "inter_n", "diff_n", "en_n",
+        hll_estimate_expr(F.col("np"), F.col("sp"), p=10).alias("hll_en"),
+    )
 
 
 def _sql_setops() -> str:

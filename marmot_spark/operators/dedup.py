@@ -100,10 +100,19 @@ def _sig_frame(
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(shingle_hashes_col(tokens_col, k_shingle)).alias("s")
     )
-    return ex.groupBy("id").agg(
+    sig = ex.groupBy("id").agg(
         F.collect_set("s").alias("sh"),
         *[F.min(_hash_k(F.col("s"), k)).alias(f"mh_{k}") for k in range(n_hashes)],
     )
+    # Every caller consumes the signature frame several times (band keys,
+    # verify-side sh_a, verify-side sh_b): as a plain plan those consumers
+    # each re-run the scan + shingle fold + explode + aggregation (the static
+    # plan duplicated this subtree 4x in minhash_lsh_pairs). A lazy
+    # localCheckpoint materializes the signatures ONCE inside the first
+    # action (persisted per run — nothing survives across runs) and every
+    # consumer reads the stored partitions (guide §3.3/§5: materialise a
+    # reused intermediate instead of recomputing wide subtrees).
+    return sig.localCheckpoint(eager=False)
 
 
 def _band_frame(sig: DataFrame, n_hashes: int, rows_per_band: int, n_bands: int) -> DataFrame:

@@ -49,9 +49,15 @@ def with_ngram_membership(
     marmot backoff convention that membership is tested per exact n.
     """
     out = exploded
+    # all probe n-grams in ONE projection before any join: the joins then
+    # reference only the (short) __left_n slices, so Catalyst prunes the full
+    # ``tokens`` array out of the probe stream before the first join instead
+    # of copying it through every broadcast-join output row (guide §2.3:
+    # project before the exchange/join)
+    for n in range(1, max_n + 1):
+        out = out.withColumn(f"__left_{n}", left_ngram_col(tokens_col, pos_col, n))
     for n in range(1, max_n + 1):
         dict_n = ngram_dict.filter(F.col("n") == n).select(F.col("ngram").alias(f"__ng_{n}"))
-        out = out.withColumn(f"__left_{n}", left_ngram_col(tokens_col, pos_col, n))
         out = out.join(
             F.broadcast(dict_n.distinct()),
             out[f"__left_{n}"] == dict_n[f"__ng_{n}"],

@@ -168,6 +168,21 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_bucket_rank_cols(col, p: int = 10) -> tuple[Column, Column]:
+    """The (bucket, rank) expression pair the HLL registers aggregate over —
+    exposed so composed queries can ride an existing exchange with the
+    registers' max instead of paying a dedicated pass (same math,
+    bit-identical registers)."""
+    m = 1 << p
+    t = F.pmod(col.cast("long"), F.lit(P31))
+    h1 = _hll_mix(t, _HLL_M1, _HLL_A1, _HLL_M1B, _HLL_A1B)
+    h2 = _hll_mix(t, _HLL_M2, _HLL_A2, _HLL_M2B, _HLL_A2B)
+    rank = F.when(h2 == 0, F.lit(32)).otherwise(
+        F.lit(31) - F.floor(F.log(h2.cast("double")) / F.lit(math.log(2.0)))
+    )
+    return h1 % F.lit(m), rank.cast("int")
+
+
 def hll_registers(df: DataFrame, col, p: int = 10) -> DataFrame:
     """The 2^p HLL registers over ``col``'s values: (b, r) with r = max over
     values in bucket b of (leading zeros of the 31-bit rank hash) + 1.
@@ -178,15 +193,9 @@ def hll_registers(df: DataFrame, col, p: int = 10) -> DataFrame:
     either SQL dialect); any power-of-two rounding quirk is IDENTICAL on
     both engines, which is all determinism needs.
     """
-    m = 1 << p
-    t = F.pmod(col.cast("long"), F.lit(P31))
-    h1 = _hll_mix(t, _HLL_M1, _HLL_A1, _HLL_M1B, _HLL_A1B)
-    h2 = _hll_mix(t, _HLL_M2, _HLL_A2, _HLL_M2B, _HLL_A2B)
-    rank = F.when(h2 == 0, F.lit(32)).otherwise(
-        F.lit(31) - F.floor(F.log(h2.cast("double")) / F.lit(math.log(2.0)))
-    )
+    b, r = hll_bucket_rank_cols(col, p)
     return (
-        df.select((h1 % F.lit(m)).alias("b"), rank.cast("int").alias("r"))
+        df.select(b.alias("b"), r.alias("r"))
         .groupBy("b")
         .agg(F.max("r").alias("r"))
     )
@@ -200,20 +209,28 @@ def hll_estimate(regs: DataFrame, p: int = 10) -> DataFrame:
     0); every float op downstream is a single expression over exact
     integers, then round-half-up to BIGINT.
     """
-    m = 1 << p
-    alpha = _hll_alpha(m)
     agg = regs.agg(
         F.count(F.lit(1)).alias("np"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).alias("sp"),
     )
-    s = (F.lit(m) - F.col("np")).cast("long") * F.lit(4294967296) + F.col("sp")
-    zeros = (F.lit(m) - F.col("np")).cast("long")
+    return agg.select(hll_estimate_expr(F.col("np"), F.col("sp"), p).alias("hll_est"))
+
+
+def hll_estimate_expr(np_col: Column, sp_col: Column, p: int = 10) -> Column:
+    """The estimator as a plain column over exact-integer (np, sp) — the
+    register-present count and the harmonic 2^(32-r) sum — so a composed
+    query that already aggregated registers inline can finish the estimate
+    without a second registers pass. Identical math to ``hll_estimate``."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    s = (F.lit(m) - np_col).cast("long") * F.lit(4294967296) + sp_col
+    zeros = (F.lit(m) - np_col).cast("long")
     raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(4294967296.0) / s.cast("double")
     est = F.when(
         (zeros > 0) & (raw <= F.lit(2.5 * m)),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return agg.select(F.floor(est + F.lit(0.5)).cast("long").alias("hll_est"))
+    return F.floor(est + F.lit(0.5)).cast("long")
 
 
 def hll_sql(expr_from: str, p: int = 10) -> str:

@@ -67,6 +67,19 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # INT64 micros timestamps instead of the Spark 4.1 default INT96:
+        # the INT96 writer converts every value to Julian-day nanos through
+        # the legacy-calendar rebase path — the r6 pinned interleaved sink
+        # A/B (BENCH/r06_sink_ab.json) measured the full flagship sink at
+        # cpu 262/216/342 s (INT96) vs 169/88 s clean runs (MICROS), wall
+        # min 26.2 vs 15.0 s, identical 753 MB output. Bytes round-trip
+        # exactly (Spark timestamps ARE micros); readers see TIMESTAMP
+        # either way.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # modern-domain timestamps only (engine convention): skip the
+        # per-value pre-1582 rebase check on write; out-of-domain values
+        # would be rebase-identical anyway under proleptic Gregorian readers
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         # zstd sinks: measured 26% faster AND 40% smaller than snappy for the
         # flagship feature matrix (40.0s/711MB vs 53.9s/1.2GB, warm, 32 cores)
         # — on bandwidth-bound hosts the smaller write wins outright, and at

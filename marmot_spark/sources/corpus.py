@@ -86,20 +86,29 @@ def read_conll_tagged(spark: SparkSession, path: str, id_prefix: str = "s") -> D
     tab-separated columns ``token<TAB>pos<TAB>label``, sentences separated by
     blank lines -> (doc_id, tokens, pos_tags, labels, n_tok).
 
-    Sentence recovery is a running count of blank separators: sentence id =
-    number of blank lines at-or-before the row, via an UNPARTITIONED window
-    over the file's line ids. That window plans an Exchange SinglePartition —
-    DELIBERATE here and exempt from the plan-wide ban (which covers the query
-    registry): sentence boundaries are a strictly sequential property of one
-    file's line order, and CoNLL files are bounded single-file artifacts read
-    whole. Shard multi-gigabyte corpora into per-file reads upstream, like
-    the other single-file adapters here.
+    Sentence recovery is a running count of blank separators PER FILE:
+    sentence id = number of blank lines at-or-before the row within its
+    file, via a window partitioned by ``input_file_name()`` and ordered by
+    the file's line ids. Sentence boundaries are a strictly sequential
+    property of one file's line order, so the file is the natural parallel
+    unit — a multi-file corpus recovers every file concurrently, and NO
+    Exchange SinglePartition appears (the former unpartitioned window
+    funneled the whole corpus through one task and carried the registry's
+    only plan-audit exemption). ``doc_id`` output is identical for
+    single-file inputs; sentence numbering restarts per file, so multi-file
+    callers disambiguate with a distinct ``id_prefix`` per read (or read
+    files separately), as before.
     """
     from pyspark.sql import Window
 
-    raw = spark.read.text(path).withColumn("__line", F.monotonically_increasing_id())
-    w = Window.orderBy("__line").rowsBetween(Window.unboundedPreceding, 0)
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("__file"),
+        F.col("value"),
+        F.monotonically_increasing_id().alias("__line"),
+    )
+    w = Window.partitionBy("__file").orderBy("__line").rowsBetween(Window.unboundedPreceding, 0)
     marked = raw.select(
+        "__file",
         "__line",
         F.col("value"),
         F.sum((F.trim("value") == "").cast("int")).over(w).alias("__sent"),
@@ -107,12 +116,12 @@ def read_conll_tagged(spark: SparkSession, path: str, id_prefix: str = "s") -> D
     cols = F.split(F.col("value"), "\t")
     return (
         marked.select(
-            "__sent", "__line",
+            "__file", "__sent", "__line",
             cols.getItem(0).alias("token"),
             cols.getItem(1).alias("pos"),
             cols.getItem(2).alias("label"),
         )
-        .groupBy("__sent")
+        .groupBy("__file", "__sent")
         .agg(F.array_sort(F.collect_list(F.struct("__line", "token", "pos", "label"))).alias("s"))
         .select(
             F.format_string(f"{id_prefix}%08d", F.col("__sent")).alias("doc_id"),

@@ -945,6 +945,26 @@ def test_read_conll_tagged(spark, tmp_path):
     assert rows["s00000002"]["n_tok"] == 1
 
 
+def test_read_conll_tagged_multi_file(spark, tmp_path):
+    """Per-file sentence recovery (r6): a directory of CoNLL files recovers
+    every file independently — no single-task stage, sentence numbering per
+    file — and the reader plans NO Exchange SinglePartition."""
+    from marmot_spark.sources.corpus import read_conll_tagged
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.conll").write_text("A\tDT\tOK\nfox\tNN\tOK\n\nIt\tPRP\tBAD\n")
+    (d / "b.conll").write_text("End\tNN\tOK\n")
+    df = read_conll_tagged(spark, str(d))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    rows = df.collect()
+    toks = sorted(tuple(r["tokens"]) for r in rows)
+    assert toks == [("A", "fox"), ("End",), ("It",)]
+    # per-file numbering: each file starts at sentence 0
+    assert sorted(r["doc_id"] for r in rows) == ["s00000000", "s00000000", "s00000001"]
+
+
 def _gdfa_reference(fwd, bwd, n_src, n_tgt, final_and=True):
     """Independent re-implementation of Moses grow-diag-final(-and) (scan
     order matched to the operator: (s, t) grid, passes to fixpoint)."""

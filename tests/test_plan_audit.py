@@ -241,18 +241,15 @@ def test_no_global_sort_or_window_in_any_driver_query(spark, sf_dir):
     import __spark_entry__ as e
 
     # Sort/Window whose direct child (next tree line) is the single-partition
-    # exchange; tree glyphs (+- :- spaces) between them
+    # exchange; tree glyphs (+- :- spaces) between them. No exemptions: the
+    # last one (read_conll_tagged's line-order window) was removed in r6 by
+    # partitioning sentence recovery per input file.
     bad = re.compile(r"(Sort|Window)[^\n]*\n[\s:+-]*Exchange SinglePartition")
-    # sources/corpus.py::read_conll_tagged's line-order window is the ONE
-    # documented exemption (sentence boundaries are a strictly sequential
-    # property of a bounded single file — see its docstring); the exemption
-    # is scoped to that reader's marker column, not the whole query.
-    exempt = re.compile(r"(Sort|Window) \[__line#")
     offenders = {}
     for name, q in e.queries().items():
         plan = plan_of(q(spark, sf_dir), "simple")
         m = bad.search(plan)
-        if m and not exempt.match(m.group(0)):
+        if m:
             offenders[name] = m.group(0)
     assert not offenders, f"global one-task sorts found: {offenders}"
 
