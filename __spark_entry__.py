@@ -705,11 +705,13 @@ def _ngram_dict_multi(spark, sf, specs) -> DataFrame:
 
     Per-n construction scans + tokenizes + aggregates the corpus once PER
     ORDER (w3 paid 3 full passes); here every order's grams ride a single
-    Generate into one groupBy(n, ngram). Because each downstream per-n
-    consumer (the membership joins) filters the SAME aggregate, their
-    exchange subtrees are plan-identical and Spark's ReuseExchange runs the
-    scan+explode+partial-agg once at execution (guide §2.4: two operations
-    keyed the same way share one exchange)."""
+    Generate into one groupBy(n, ngram). The dictionary (vocabulary-sized)
+    ends in a lazy localCheckpoint: without it Catalyst pushes each
+    consumer's ``n = i`` predicate below the aggregate, the three branch
+    subtrees stop being plan-identical, and ReuseExchange cannot dedupe
+    them — each membership join would re-explode the whole corpus. The
+    checkpoint materializes the tiny dict once per run and every per-n
+    filter reads its partitions (guide §2.4/§3.3)."""
     from marmot_spark.operators.ngrams import ngrams_col
 
     docs = _docs(spark, sf)
@@ -733,7 +735,7 @@ def _ngram_dict_multi(spark, sf, specs) -> DataFrame:
     for n, mc in specs:
         c = (F.col("n") == n) & (F.col("count") >= mc)
         keep = c if keep is None else keep | c
-    return counts.filter(keep).select("ngram", "n")
+    return counts.filter(keep).select("ngram", "n").localCheckpoint(eager=False)
 
 
 _GRAMS_SQL = """
