@@ -329,9 +329,15 @@ FROM (
 
 
 def _q_a4_rolling_count(spark, sf):
+    # one MATERIALIZED order key for both rolling passes: with a shared order
+    # attribute the two adjacent Window nodes have identical (partition,
+    # order) specs, so CollapseWindow fuses all four frames into ONE
+    # WindowExec over one sort (each call ordering by its own computed
+    # unix_micros expression planned two Sort+WindowExec passes)
     ev = _events(spark, sf).withColumn("value_c", _cents("value"))
-    ev = rolling_count(ev, "user_id", "ts", 3600, "rolling_n")
-    ev = rolling_count(ev, "user_id", "ts", 3600, "rolling_value_c", value_col="value_c")
+    ev = ev.withColumn("__ous", F.unix_micros(F.col("ts")))
+    ev = rolling_count(ev, "user_id", "ts", 3600, "rolling_n", order_col="__ous")
+    ev = rolling_count(ev, "user_id", "ts", 3600, "rolling_value_c", value_col="value_c", order_col="__ous")
     return ev.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "rolling_n", "rolling_value_c")
 
 

@@ -130,6 +130,7 @@ def sessionize(
     n_chunks: int | None = None,
     bounds: dict | None = None,
     chunk_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Gap-based session ids per entity (1-based, in event order).
 
@@ -150,12 +151,20 @@ def sessionize(
     tdouble = F.col(ts).cast("double")
     # order by integer micros (same ordering as the raw timestamp) so a
     # downstream rolling_count window — whose RANGE frames must sort by
-    # unix_micros — can reuse this operator's sort instead of re-sorting
-    lead = (
-        F.unix_micros(F.col(ts))
-        if dict(df.dtypes)[ts].startswith("timestamp")
-        else F.col(ts)
-    )
+    # unix_micros — can reuse this operator's sort instead of re-sorting.
+    # ``order_col`` names a MATERIALIZED column holding exactly
+    # unix_micros(ts): ordering by the shared attribute (instead of a
+    # computed expression that window resolution re-aliases to a fresh _w0
+    # per operator) is what lets a downstream window's sort requirement
+    # prefix-match this operator's sort order and be elided.
+    if order_col is not None:
+        lead = F.col(order_col)
+    else:
+        lead = (
+            F.unix_micros(F.col(ts))
+            if dict(df.dtypes)[ts].startswith("timestamp")
+            else F.col(ts)
+        )
     if (not n_chunks or n_chunks <= 1) and chunk_col is None:
         order = [lead.asc()] + [F.col(c).asc() for c in (order_extra or [])]
         w = Window.partitionBy(entity).orderBy(*order)
@@ -338,6 +347,7 @@ def _rolling_chunked_frames(
     bounds: dict | None,
     delta_type: str,
     chunk_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame | None:
     """Chunked rolling counts via in-chunk frames + a chunk-tail sideband.
 
@@ -360,8 +370,13 @@ def _rolling_chunked_frames(
 
     Returns None when any entity's window spans >= its chunk span (every row
     would be a boundary row — the probe-stream path handles that better).
+
+    ``order_col``: a MATERIALIZED column holding exactly unix_micros(ts)
+    (same contract as :func:`sessionize`): windows then order by the shared
+    attribute, so when an upstream operator already sorted by it this
+    operator's sort requirement is prefix-satisfied and elided.
     """
-    tus = F.unix_micros(F.col(ts))
+    tus = F.col(order_col) if order_col is not None else F.unix_micros(F.col(ts))
     wus = window_seconds * 1_000_000
     if bounds is None:
         rows = df.groupBy(entity).agg(F.min(tus).alias("mn"), F.max(tus).alias("mx")).collect()
@@ -389,10 +404,19 @@ def _rolling_chunked_frames(
         base, ch = df.withColumn("__chunk", chunk_of(tus, entity)), "__chunk"
 
     w_ord = Window.partitionBy(entity, ch).orderBy(tus)
-    ev = (
-        base.withColumn("__lcum", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, 0)))
-        .withColumn("__llt", F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, -(wus + 1))))
-        .withColumn("__lrn", F.row_number().over(w_ord).cast("long"))
+    # ONE select, not three withColumns: each withColumn makes its own Window
+    # logical node whose computed order key (unix_micros) is re-aliased to a
+    # fresh _w0 attribute, so the order specs stop being syntactically equal
+    # and CollapseWindow cannot merge them — the physical plan gets THREE
+    # Sort+WindowExec passes over the stream (and the probe branch below
+    # re-executes all three). From a single projection, ExtractWindowExpressions
+    # groups all three frames under one (partition, order) spec: one sort,
+    # one WindowExec.
+    ev = base.select(
+        "*",
+        F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, 0)).alias("__lcum"),
+        F.sum(delta).over(w_ord.rangeBetween(Window.unboundedPreceding, -(wus + 1))).alias("__llt"),
+        F.row_number().over(w_ord).cast("long").alias("__lrn"),
     )
 
     start = F.coalesce(
@@ -476,6 +500,7 @@ def rolling_count(
     n_chunks: int | None = None,
     bounds: dict | None = None,
     chunk_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Event-time rolling count (or sum of value_col) over the trailing window.
 
@@ -494,6 +519,13 @@ def rolling_count(
 
     strategy="range": the naive RANGE frame — fine for sparse windows, kept
     for tiny inputs and as the semantics reference.
+
+    ``order_col`` (difference-strategy paths): a caller-MATERIALIZED column
+    holding exactly ``unix_micros(ts)``. Ordering windows by the shared
+    attribute (instead of a computed expression that resolution re-aliases
+    per operator) lets adjacent window operators collapse into one
+    WindowExec and lets an upstream sort on the same attribute satisfy this
+    operator's ordering requirement (see :func:`sessionize`).
 
     Fast path (unchunked + TimestampType ts): both terms are ADD-ONLY range
     frames over integer microseconds — cum_le = [unbounded, 0] and cnt_lt =
@@ -522,14 +554,14 @@ def rolling_count(
     if n_chunks and n_chunks > 1 and ts_is_timestamp:
         out = _rolling_chunked_frames(
             df, entity, ts, int(window_seconds), out_col, value_col, n_chunks, bounds,
-            delta_type, chunk_col=chunk_col,
+            delta_type, chunk_col=chunk_col, order_col=order_col,
         )
         if out is not None:
             return out
         # fall through to the probe-stream formulation (window >= chunk span)
 
     if (not n_chunks or n_chunks <= 1) and ts_is_timestamp:
-        tus = F.unix_micros(F.col(ts))
+        tus = F.col(order_col) if order_col is not None else F.unix_micros(F.col(ts))
         w_le = Window.partitionBy(entity).orderBy(tus).rangeBetween(Window.unboundedPreceding, 0)
         w_lt = Window.partitionBy(entity).orderBy(tus).rangeBetween(
             Window.unboundedPreceding, -(int(window_seconds) * 1_000_000 + 1)
@@ -563,9 +595,14 @@ def rolling_count(
             F.coalesce(F.sum("__tot").over(w_ch), F.lit(0).cast(delta_type)).alias("__coff"),
             F.coalesce(F.sum("__rows").over(w_ch), F.lit(0)).alias("__roff"),
         )
+        # one projection so both frames share one Window node (see
+        # _rolling_chunked_frames for why separate withColumns plan 2 sorts)
         ev = (
-            base.withColumn("__lcum", F.sum(loc_delta).over(w_loc_grow))
-            .withColumn("__lrn", F.row_number().over(w_loc_rid))
+            base.select(
+                "*",
+                F.sum(loc_delta).over(w_loc_grow).alias("__lcum"),
+                F.row_number().over(w_loc_rid).alias("__lrn"),
+            )
             .join(F.broadcast(offs), [entity, "__chunk"])
             .withColumn("__cum_le", F.col("__lcum") + F.col("__coff"))
             .withColumn("__rid", (F.col("__lrn") + F.col("__roff")).cast("long"))
@@ -580,7 +617,10 @@ def rolling_count(
             cum_le = F.count(F.lit(1)).over(w_grow).cast("long")
         else:
             cum_le = F.sum(F.col(value_col)).over(w_grow)
-        ev = df.withColumn("__cum_le", cum_le).withColumn("__rid", F.row_number().over(w_rid).cast("long"))
+        # one projection -> one Window node for both frames (see above)
+        ev = df.select(
+            "*", cum_le.alias("__cum_le"), F.row_number().over(w_rid).cast("long").alias("__rid")
+        )
 
     # probe stream at ts - W; __side 0 sorts before events at equal time -> strict <
     probes = ev.select(

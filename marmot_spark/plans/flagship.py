@@ -119,19 +119,45 @@ def flagship_features(
                 int(r["__k"]): (int(r["mn"]), int(r["mx"])) for r in rows if r["__g"] == 1
             }
 
+    # ONE materialized order key (__ous = unix_micros(ts)) shared by both
+    # window operators, and sessionize FIRST: its sort (entity, chunk, __ous,
+    # tie-breaks) prefix-satisfies rolling_count's required (entity, chunk,
+    # __ous) ordering on the SAME attribute, so rolling's windows run with no
+    # sort of their own. (Passing computed unix_micros expressions to each
+    # orderBy instead plans a fresh _w0 alias per operator and every window
+    # re-sorts.)
     if n_chunks > 1:
         base = with_time_chunk(narrow, entity_col, ts_col, n_chunks, bounds=bounds)
-        base = rolling_count(
-            base, entity_col, ts_col, rolling_window_s, "rolling_docs",
-            n_chunks=n_chunks, bounds=bounds, chunk_col="__tchunk",
-        )
+        base = base.withColumn("__ous", F.unix_micros(F.col(ts_col)))
         base = sessionize(
             base, entity_col, ts_col, session_gap_s, order_extra=order_extra,
-            n_chunks=n_chunks, bounds=bounds, chunk_col="__tchunk",
-        ).drop("__tchunk")
+            n_chunks=n_chunks, bounds=bounds, chunk_col="__tchunk", order_col="__ous",
+        )
+        # lazy localCheckpoint (nothing runs at plan build; materialized once
+        # inside the first action, per run): rolling_count's sideband branches
+        # (boundary probes + chunk tails) and the downstream dedup otherwise
+        # re-execute the sessionized subtree per consumer — the same device
+        # (and rationale) as the minhash _sig_frame / w3 dictionary
+        # checkpoints. Under the bench flagship regime (AQE off) the
+        # LogicalRDD keeps the (entity, chunk) partitioning AND the
+        # (entity, chunk, __ous, ties) sort order, so rolling runs with no
+        # exchange and no sort of its own; with AQE on the unexecuted
+        # checkpoint plan reports unknown partitioning and the (tiny) narrow
+        # frame is re-exchanged — the dedup-of-computation win remains.
+        base = base.localCheckpoint(eager=False)
+        base = rolling_count(
+            base, entity_col, ts_col, rolling_window_s, "rolling_docs",
+            n_chunks=n_chunks, bounds=bounds, chunk_col="__tchunk", order_col="__ous",
+        ).drop("__tchunk", "__ous")
     else:
-        base = rolling_count(narrow, entity_col, ts_col, rolling_window_s, "rolling_docs")
-        base = sessionize(base, entity_col, ts_col, session_gap_s, order_extra=order_extra)
+        base = narrow.withColumn("__ous", F.unix_micros(F.col(ts_col)))
+        base = sessionize(
+            base, entity_col, ts_col, session_gap_s, order_extra=order_extra,
+            order_col="__ous",
+        )
+        base = rolling_count(
+            base, entity_col, ts_col, rolling_window_s, "rolling_docs", order_col="__ous"
+        ).drop("__ous")
 
     # narrow the per-feature-row payload BEFORE the explode multiplies it
     base = base.withColumn("session_id", F.col("session_id").cast("int")).withColumn(

@@ -338,3 +338,86 @@ def test_scoring_broadcast_regimes(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     small_nb = sorted(map(tuple, nb_logodds(docs, F.col("lang") == "en").collect()))
     assert sorted(map(tuple, big_nb.collect())) == small_nb
+
+
+def test_narrow_chain_fused_rolling_and_shared_sort(spark):
+    """r6 second pass: the chunked narrow feature chain plans (1) ONE Window
+    node carrying all three rolling frames (__lcum growing-range, __llt
+    lagged-range, row_number) — separate withColumns re-alias the computed
+    unix_micros order key to a fresh _w0 per window, the specs stop being
+    equal, and CollapseWindow leaves 3 Sort+WindowExec passes — and (2) NO
+    rolling-owned Sort when both operators order by one MATERIALIZED __ous
+    column and sessionize runs first: rolling's required (entity, chunk,
+    __ous) ordering prefix-matches sessionize's (entity, chunk, __ous, tie)
+    sort on the same attribute and is elided."""
+    from marmot_spark.operators.windows import (
+        entity_time_bounds,
+        rolling_count,
+        sessionize,
+        with_time_chunk,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("ent"),
+        F.timestamp_micros((F.col("id") * 700_000).cast("long")).alias("ts"),
+        (F.col("id") % 7).alias("tie"),
+    )
+    bounds = entity_time_bounds(df, "ent", "ts")
+    base = with_time_chunk(df, "ent", "ts", 4, bounds=bounds).withColumn(
+        "__ous", F.unix_micros(F.col("ts"))
+    )
+    sess = sessionize(
+        base, "ent", "ts", 30.0, order_extra=["tie"], n_chunks=4,
+        bounds=bounds, chunk_col="__tchunk", order_col="__ous",
+    )
+    roll = rolling_count(
+        sess, "ent", "ts", 60, "rn", n_chunks=4,
+        bounds=bounds, chunk_col="__tchunk", order_col="__ous",
+    )
+    plan = plan_of(roll, "simple")
+    # (1) every Window node computing __lcum also carries __llt and
+    # row_number — the three frames fused into one WindowExec
+    lcum_windows = [
+        ln for ln in plan.splitlines() if "Window [" in ln and "__lcum" in ln
+    ]
+    assert lcum_windows, "expected the rolling Window node in the plan"
+    for ln in lcum_windows:
+        assert "__llt" in ln and "row_number" in ln, f"rolling frames split:\n{ln}"
+    # (2) the flagship composition adds a lazy localCheckpoint between the
+    # two operators (truncating the sideband branches, where column pruning
+    # strips the session window and would otherwise re-sort). Under the bench
+    # flagship regime (AQE off — with AQE on the unexecuted checkpoint plan
+    # reports unknown partitioning and the tiny frame is re-exchanged, which
+    # the driver-gated small queries tolerate) the LogicalRDD keeps the
+    # (entity, chunk) partitioning and (entity, chunk, __ous, tie) sort
+    # order, so rolling's Window sits DIRECTLY on the checkpoint scan: no
+    # visible Sort orders by __ous at all.
+    # AQE must be off BEFORE the checkpoint call: LogicalRDD snapshots the
+    # physical plan's partitioning/ordering at localCheckpoint() time
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ck = sess.localCheckpoint(eager=False)
+        roll_ck = rolling_count(
+            ck, "ent", "ts", 60, "rn", n_chunks=4,
+            bounds=bounds, chunk_col="__tchunk", order_col="__ous",
+        )
+        plan_ck = plan_of(roll_ck, "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Scan ExistingRDD" in plan_ck  # the checkpoint boundary is there
+    for ln in plan_ck.splitlines():
+        if "Sort [" in ln:
+            assert "__ous" not in ln, f"rolling planned its own sort:\n{ln}"
+
+
+def test_a4_two_rolling_counts_share_one_window(spark, sf_dir):
+    """The a4 bench query's two serial rolling passes (count + value sum)
+    share one materialized order attribute, so the plan is ONE Exchange +
+    ONE Sort + ONE WindowExec carrying all four frames."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e._q_a4_rolling_count(spark, sf_dir), "simple")
+    n_sort = sum("Sort [" in ln for ln in plan.splitlines())
+    n_window = sum("Window [" in ln for ln in plan.splitlines())
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert (n_sort, n_window, n_exchange) == (1, 1, 1), (n_sort, n_window, n_exchange)
